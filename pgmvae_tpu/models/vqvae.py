@@ -1,0 +1,166 @@
+"""The batched multi-network VQ-VAE: `n_var` independent dense autoencoders
+trained as ONE model.
+
+This is the TPU-native re-design of the reference's FatDense/VqVAE stack
+(reference `core/dense.py:15-111`, `core/model.py:14-55`): instead of a Keras
+layer object holding stacked kernels, the whole model is a pure function of a
+params pytree whose every leaf carries a leading `n_var` axis. Dense layers
+are batched matmuls `[n,B,i] x [n,i,o]` — rank-3 `dot_general`s that XLA maps
+straight onto the MXU, with bias+SELU fused in. The variable axis is also the
+model-parallel sharding axis (each device owns a contiguous slice of
+independent autoencoders — zero cross-device traffic in the forward/backward).
+
+Architecture (reference `core/model.py:19-36`):
+  encoder: Dense(units[0..L-1], selu, he_uniform) -> Dense(dim, selu)
+  quantizer: EMA VQ / plain VQ (per-variable codebook [n,D,K]) / naive binary
+  decoder: Dense(units[L-1..0], selu) -> Dense(n_var-1, sigmoid, glorot)
+
+The reference hardcodes exactly 4 hidden widths (and crashes on fewer, e.g.
+its own `core/model.py:161` self-test); we accept any depth >= 1.
+
+Layout convention: model-facing tensors are variable-major [n_var, B, ...];
+the leave-one-out gather from samples y [B, n_var] happens in the caller
+(see `pgmvae_tpu/train.py`), never materialized per-dataset.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pgmvae_tpu.ops import initializers as pinit
+from pgmvae_tpu.ops import quantizer as q
+
+
+class VqVaeConfig(NamedTuple):
+    n_var: int
+    units: Tuple[int, ...]       # hidden widths (encoder order)
+    dim: int                     # latent / embedding dimension D
+    num_codes: int               # codebook size K
+    cost: float = 0.25           # commitment cost beta
+    decay: float = 0.99          # EMA decay gamma
+    quantizer: str = 'ema'       # 'ema' | 'vq' | 'naive'
+    zero_debias: bool = True     # TF assign_moving_average default
+    epsilon: float = 1e-5        # EMA Laplace smoothing
+    fan_mode: str = 'tf_stacked'
+    dtype: str = 'float32'
+
+    @property
+    def effective_codes(self) -> int:
+        """Number of discrete codes stage 2 counts over."""
+        return 2 ** self.dim if self.quantizer == 'naive' else self.num_codes
+
+
+class ForwardOut(NamedTuple):
+    recon: jax.Array          # [n, B, n-1] sigmoid reconstruction
+    z: jax.Array              # [n, B, D] pre-quantization latents
+    indices: jax.Array        # [n, B] code assignments
+    e_loss: jax.Array         # commitment loss
+    q_loss: jax.Array         # codebook loss (0 for ema/naive)
+
+
+def _layer_dims(cfg: VqVaeConfig):
+    enc_in = (cfg.n_var - 1,) + tuple(cfg.units)
+    enc_out = tuple(cfg.units) + (cfg.dim,)
+    dec_in = (cfg.dim,) + tuple(reversed(cfg.units))
+    dec_out = tuple(reversed(cfg.units)) + (cfg.n_var - 1,)
+    return tuple(zip(enc_in, enc_out)), tuple(zip(dec_in, dec_out))
+
+
+def init_model(key: jax.Array, cfg: VqVaeConfig):
+    """Build (params, codebook). params = {'enc': [(w,b)...], 'dec': [...]}.
+
+    Inits mirror the reference: he_uniform for all selu layers
+    (core/model.py:19-20), glorot_uniform for the sigmoid output
+    (core/model.py:36), VarianceScaling-uniform codebook
+    (core/quantizer.py:36), zero biases — all with the reference's stacked
+    fan semantics (see ops/initializers.py).
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    enc_dims, dec_dims = _layer_dims(cfg)
+    n_layers = len(enc_dims) + len(dec_dims)
+    keys = jax.random.split(key, n_layers + 1)
+
+    def dense(k, i, o, init_fn):
+        w = init_fn(k, (cfg.n_var, i, o), fan_mode=cfg.fan_mode, dtype=dtype)
+        b = jnp.zeros((cfg.n_var, 1, o), dtype)
+        return (w, b)
+
+    enc = [dense(keys[li], i, o, pinit.he_uniform)
+           for li, (i, o) in enumerate(enc_dims)]
+    dec = []
+    for li, (i, o) in enumerate(dec_dims):
+        is_last = li == len(dec_dims) - 1
+        init_fn = pinit.glorot_uniform if is_last else pinit.he_uniform
+        dec.append(dense(keys[len(enc_dims) + li], i, o, init_fn))
+    params = {'enc': enc, 'dec': dec}
+
+    if cfg.quantizer == 'naive':
+        codebook = None
+    else:
+        codebook = pinit.variance_scaling_uniform(
+            keys[-1], (cfg.n_var, cfg.dim, cfg.num_codes),
+            scale=1.0, mode='fan_in', fan_mode=cfg.fan_mode, dtype=dtype)
+    return params, codebook
+
+
+def _dense_stack(layers, x, activation):
+    """Apply a stack of batched dense layers: [n,B,i] x [n,i,o] + [n,1,o]."""
+    for w, b in layers:
+        x = activation(jnp.einsum('nbi,nio->nbo', x, w,
+                                  preferred_element_type=x.dtype) + b)
+    return x
+
+
+def encode(params, x: jax.Array) -> jax.Array:
+    """Leave-one-out views [n,B,n-1] -> latents z [n,B,D] (all-selu encoder,
+    ref core/model.py:42-46)."""
+    return _dense_stack(params['enc'], x, jax.nn.selu)
+
+
+def _decode(params, x: jax.Array) -> jax.Array:
+    hidden, last = params['dec'][:-1], params['dec'][-1]
+    x = _dense_stack(hidden, x, jax.nn.selu)
+    w, b = last
+    return jax.nn.sigmoid(jnp.einsum('nbi,nio->nbo', x, w,
+                                     preferred_element_type=x.dtype) + b)
+
+
+def apply_model(params, codebook, x: jax.Array, cfg: VqVaeConfig,
+                weights: Optional[jax.Array] = None) -> ForwardOut:
+    """Full forward pass (ref core/model.py:39-55, variable-major layout).
+
+    `weights` are optional per-sample weights on the batch axis (0/1 mask for
+    ragged final batches) applied to every mean-reduction.
+    """
+    z = encode(params, x)
+    if cfg.quantizer == 'naive':
+        out = q.naive_forward(z, weights)
+        latent, indices = out.output, q.naive_codes(z)
+        e_loss, q_loss = out.e_loss, jnp.zeros((), z.dtype)
+    else:
+        vq = q.vq_forward(z, codebook, weights)
+        latent, indices, e_loss, q_loss = vq
+    recon = _decode(params, latent)
+    return ForwardOut(recon, z, indices, e_loss, q_loss)
+
+
+def encode_codes(params, codebook, x: jax.Array, cfg: VqVaeConfig) -> jax.Array:
+    """Encoder + quantizer only -> code indices [n_or_f, B] (the reference's
+    `code_only=True` path, ref core/model.py:48, quantizer.py:54-56)."""
+    z = encode(params, x)
+    if cfg.quantizer == 'naive':
+        return q.naive_codes(z)
+    return q.vq_codes(z, codebook)
+
+
+def gather_variables(params, codebook, fts: jax.Array):
+    """Select a subset of the independent networks by variable index (the
+    reference's `fts` argument, ref core/dense.py:103-105,
+    core/quantizer.py:43,134). Because every leaf is stacked on axis 0, this
+    is a single gather per leaf."""
+    sub_params = jax.tree.map(lambda p: jnp.take(p, fts, axis=0), params)
+    sub_codebook = None if codebook is None else jnp.take(codebook, fts, axis=0)
+    return sub_params, sub_codebook
