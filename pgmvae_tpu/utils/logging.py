@@ -1,0 +1,66 @@
+"""Metrics / observability.
+
+The reference's observability is a TensorBoard callback writing loss curves
+under `logs/tuning/<identifier>/` plus a flat `result.txt` append (reference
+`run.py:39-40, 77-80`). We keep both contracts:
+
+- per-epoch metrics as JSONL (machine-readable, diff-able, no TF dependency)
+  under the same `logs/tuning/<identifier>/` layout, plus optional
+  `jax.profiler` traces next to them;
+- the `result.txt` one-line-per-run append with the identifier string that
+  encodes every hyperparameter (same field order as reference `run.py:38`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+
+def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
+                   note='') -> str:
+    """Hyperparameter-encoding run id, field-for-field the reference's
+    format (reference run.py:38)."""
+    return (f"{name}_K-{k}_D-{d}_bs-{bs}_epk-{epochs}_lr-{lr}_bta-{beta}"
+            f"_ema-{ema}_gma-{gamma}_sd-{seed}-{note}")
+
+
+class MetricLogger:
+    """Append-only JSONL epoch metrics under logs/tuning/<identifier>/."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        self._path = os.path.join(log_dir, 'metrics.jsonl')
+        self._f = open(self._path, 'a', buffering=1)
+        self._t0 = time.time()
+
+    def log_epoch(self, epoch: int, metrics) -> None:
+        rec = {'epoch': epoch, 'wall': round(time.time() - self._t0, 3)}
+        if hasattr(metrics, '_asdict'):
+            metrics = metrics._asdict()
+        rec.update({k: float(v) for k, v in dict(metrics).items()})
+        self._f.write(json.dumps(rec) + '\n')
+
+    def log_final(self, **kv) -> None:
+        rec = {'final': True, 'wall': round(time.time() - self._t0, 3)}
+        rec.update(kv)
+        self._f.write(json.dumps(rec) + '\n')
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def append_result(identifier: str, pll_train, pll_valid, pll_test,
+                  cmll_test=1, path: str = 'result.txt') -> str:
+    """Append the canonical one-line result (reference run.py:77-80).
+    `cmll_test` defaults to the literal 1 the reference hardcodes when the
+    Gibbs evaluation is disabled (reference run.py:77)."""
+    out = (f' pll-train:{pll_train} pll-valid:{pll_valid}'
+           f' pll-test:{pll_test} cmll-test:{cmll_test}')
+    line = identifier + out
+    with open(path, 'a') as f:
+        f.write(line + '\n')
+    return line

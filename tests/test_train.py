@@ -1,0 +1,129 @@
+"""Training-engine tests: ragged-batch masking, quantizer-mode state
+handling, loss composition and convergence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pgmvae_tpu.models import VqVaeConfig
+from pgmvae_tpu.train import Trainer
+
+CFG = VqVaeConfig(n_var=6, units=(5, 4), dim=3, num_codes=7, cost=0.25,
+                  decay=0.9, quantizer='ema')
+
+
+def _data(n=37, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 2, size=(n, CFG.n_var)).astype(np.float32)
+
+
+def test_padded_rows_do_not_affect_training():
+    """An epoch over N=37 with bs=8 (ragged) must equal manually feeding the
+    same 5 batches with explicit weights."""
+    y = _data(37)
+    tr = Trainer(CFG, 0.01, 8, 37)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(42)
+    state_a, _ = tr.run_epoch(state, jnp.asarray(y), key)
+
+    # replay: same permutation, explicit batches
+    state_b = tr.init_state(jax.random.PRNGKey(0))
+    perm = np.asarray(jax.random.permutation(key, 37))
+    step = jax.jit(tr.train_step)
+    for i in range(5):
+        idx = perm[i * 8:(i + 1) * 8]
+        if len(idx) < 8:
+            w = np.concatenate([np.ones(len(idx)), np.zeros(8 - len(idx))])
+            idx = np.concatenate([idx, np.zeros(8 - len(idx), np.int64)])
+        else:
+            w = np.ones(8)
+        yb = jnp.asarray(y[idx])
+        state_b, _ = step(state_b, yb, jnp.asarray(w, jnp.float32))
+
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state_a.ema.codebook),
+                               np.asarray(state_b.ema.codebook),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_mask_weight_zero_rows_are_inert():
+    """A batch with trailing zero-weight garbage rows must produce the same
+    update as the clean half-batch."""
+    y = _data(16, seed=1)
+    tr = Trainer(CFG, 0.01, 8, 16)
+    s0 = tr.init_state(jax.random.PRNGKey(1))
+    step = jax.jit(tr.train_step)
+
+    clean = jnp.asarray(y[:4])
+    padded = jnp.asarray(np.concatenate([y[:4], 123.0 * np.ones((4, CFG.n_var),
+                                                                np.float32)]))
+    s_clean, m_clean = step(s0, jnp.concatenate([clean, clean]),
+                            jnp.asarray([1, 1, 1, 1, 0, 0, 0, 0], jnp.float32))
+    s_pad, m_pad = step(s0, padded,
+                        jnp.asarray([1, 1, 1, 1, 0, 0, 0, 0], jnp.float32))
+    np.testing.assert_allclose(float(m_clean.loss), float(m_pad.loss),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_clean.params),
+                    jax.tree.leaves(s_pad.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_quantizer_mode_state_layout():
+    y = _data()
+    # ema: codebook lives in EmaState, not in params
+    tr = Trainer(CFG, 0.01, 8, len(y))
+    st = tr.init_state(jax.random.PRNGKey(0))
+    assert 'codebook' not in st.params and st.ema is not None
+    assert tr.codebook(st).shape == (6, 3, 7)
+    # vq: codebook is an Adam-trained param
+    tr2 = Trainer(CFG._replace(quantizer='vq'), 0.01, 8, len(y))
+    st2 = tr2.init_state(jax.random.PRNGKey(0))
+    assert 'codebook' in st2.params and st2.ema is None
+    cb_before = np.asarray(st2.params['codebook']).copy()  # state is donated
+    st2b, _ = tr2.run_epoch(st2, jnp.asarray(y), jax.random.PRNGKey(1))
+    assert not np.allclose(cb_before, np.asarray(st2b.params['codebook'])), \
+        'vq codebook must receive gradient updates'
+    # naive: no codebook at all
+    tr3 = Trainer(CFG._replace(quantizer='naive'), 0.01, 8, len(y))
+    st3 = tr3.init_state(jax.random.PRNGKey(0))
+    assert tr3.codebook(st3) is None and st3.ema is None
+    tr3.run_epoch(st3, jnp.asarray(y), jax.random.PRNGKey(1))
+
+
+def test_loss_decreases():
+    y = _data(128, seed=5)
+    tr = Trainer(CFG, 0.005, 32, len(y))
+    st = tr.init_state(jax.random.PRNGKey(2))
+    st, hist = tr.fit(st, y, 30, jax.random.PRNGKey(2), log_fn=lambda e, m: None)
+    assert hist[-1].loss < hist[0].loss * 0.9
+    assert hist[-1].mse < 0.25  # better than predicting 0.5 everywhere
+    assert int(st.step) == 30 * 4
+
+
+def test_ema_codebook_update_is_pure_ema():
+    """In EMA mode the codebook after one train step must be EXACTLY the
+    ema_update of the pre-step statistics — Adam must not touch it
+    (reference assigns it in-forward with zero grads,
+    core/quantizer.py:151-156)."""
+    from pgmvae_tpu.models import encode
+    from pgmvae_tpu.ops import quantizer as q
+    from pgmvae_tpu.train import leave_one_out_batch
+
+    y = _data(16, seed=7)
+    tr = Trainer(CFG, 0.01, 16, len(y))
+    st = tr.init_state(jax.random.PRNGKey(3))
+    x = leave_one_out_batch(jnp.asarray(y), tr.idx_mat)
+    z = encode(st.params, x)
+    idx = q.vq_codes(z, st.ema.codebook)
+    counts, dw = q.code_stats(z, idx, CFG.num_codes)
+    expected = q.ema_update(st.ema, counts, dw, CFG.decay, CFG.epsilon,
+                            CFG.zero_debias)
+    st2, _ = jax.jit(tr.train_step)(st, jnp.asarray(y),
+                                    jnp.ones(16, jnp.float32))
+    np.testing.assert_allclose(np.asarray(st2.ema.codebook),
+                               np.asarray(expected.codebook),
+                               rtol=1e-5, atol=1e-6)
