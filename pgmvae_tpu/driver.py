@@ -1,0 +1,136 @@
+"""Experiment driver: one (dataset x hyperparameters) cell, end to end.
+
+This is the programmatic core behind both the CLI (`run.py`, the reference
+`run.py` semantics) and the sweep runner (`run_pipeline.py`, replacing the
+reference's GNU-parallel `batch-job.sh` grids). Returns a plain dict so
+sweep joblogs can serialize results directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ExperimentConfig:
+    name: str
+    embedding: int                      # K
+    dim: int                            # D
+    batch: int = 128
+    epoch: int = 200
+    rate: float = 0.001
+    cost: float = 0.25
+    ema: bool = False
+    decay: float = 0.99
+    seed: int = 0
+    note: str = ''
+    quantizer: Optional[str] = None     # override; default from `ema`
+    units: Optional[Tuple[int, ...]] = None
+    mesh_data: int = 1
+    mesh_model: int = 1
+    zero_debias: bool = True
+    vq_impl: str = 'xla'
+    precision: str = 'default'
+    cmll: bool = False
+    checkpoint: Optional[str] = None
+    resume: Optional[str] = None
+    data_dir: Optional[str] = None
+    verbose: bool = False
+    log_dir: Optional[str] = None       # JSONL metrics directory
+
+    @property
+    def identifier(self) -> str:
+        from pgmvae_tpu.utils.logging import run_identifier
+        return run_identifier(self.name, self.embedding, self.dim, self.batch,
+                              self.epoch, self.rate, self.cost, self.ema,
+                              self.decay, self.seed, self.note)
+
+
+def run_experiment(exp: ExperimentConfig) -> dict:
+    """Stage-1 train + stage-2 CPT/PLL (+ optional CMLL / checkpoint)."""
+    import jax
+
+    from pgmvae_tpu import REGISTRY
+    from pgmvae_tpu import checkpoint as ckpt
+    from pgmvae_tpu.data import load_split
+    from pgmvae_tpu.gibbs import conditional_marginal_log_likelihood
+    from pgmvae_tpu.models import VqVaeConfig
+    from pgmvae_tpu.parallel import MeshContext, make_mesh
+    from pgmvae_tpu.stage2 import Stage2
+    from pgmvae_tpu.train import Trainer
+    from pgmvae_tpu.utils import MetricLogger
+
+    if exp.name not in REGISTRY:
+        raise KeyError(f"unknown dataset '{exp.name}'; available: "
+                       f"{', '.join(sorted(REGISTRY))}")
+    info = REGISTRY[exp.name]
+    quantizer = exp.quantizer or ('ema' if exp.ema else 'vq')
+    units = tuple(exp.units) if exp.units else info.encoder_units(exp.dim)
+
+    cfg = VqVaeConfig(n_var=info.n_var, units=units, dim=exp.dim,
+                      num_codes=exp.embedding, cost=exp.cost, decay=exp.decay,
+                      quantizer=quantizer, zero_debias=exp.zero_debias,
+                      vq_impl=exp.vq_impl, matmul_precision=exp.precision)
+
+    mesh_ctx = MeshContext(None)
+    if exp.mesh_data * exp.mesh_model > 1:
+        mesh_ctx = MeshContext(make_mesh(exp.mesh_data, exp.mesh_model))
+
+    logger = MetricLogger(exp.log_dir) if exp.log_dir else None
+
+    y_train = load_split(exp.name, 'train', exp.data_dir)
+    trainer = Trainer(cfg, exp.rate, exp.batch, len(y_train),
+                      mesh_ctx=mesh_ctx)
+    key = jax.random.PRNGKey(exp.seed)
+    state = trainer.init_state(key)
+    if exp.resume:
+        _, state, _, _ = ckpt.load(exp.resume, state_template=state)
+        state = trainer.shard_state(state)
+
+    t0 = time.time()
+    state, _ = trainer.fit(state, y_train, exp.epoch, key,
+                           verbose=exp.verbose,
+                           log_fn=logger.log_epoch if logger else None)
+    jax.block_until_ready(state.params)
+    train_wall = time.time() - t0
+
+    codebook = trainer.codebook(state)
+    s2 = Stage2(cfg, mesh_ctx=mesh_ctx)
+    t1 = time.time()
+    dist = s2.cpt(state.params, codebook, y_train)
+    pll = {}
+    for split, y in (('train', y_train),
+                     ('valid', load_split(exp.name, 'valid', exp.data_dir)),
+                     ('test', load_split(exp.name, 'test', exp.data_dir))):
+        pll[split] = s2.pseudo_log_likelihood(state.params, codebook, y, dist)
+    eval_wall = time.time() - t1
+
+    cmll_test = 1  # reference hardcodes 1 when CMLL is off (run.py:77)
+    if exp.cmll:
+        y_test = load_split(exp.name, 'test', exp.data_dir)
+        cmll_test = conditional_marginal_log_likelihood(
+            state.params, codebook, cfg, dist, y_test,
+            p1=max(info.n_var // 10, 1), num_smp=3000, burn_in=150,
+            key=jax.random.PRNGKey(exp.seed))
+
+    if exp.checkpoint:
+        ckpt.save(exp.checkpoint, cfg, state, dist,
+                  extra={'identifier': exp.identifier, 'pll': pll})
+
+    result = {
+        'identifier': exp.identifier,
+        'pll_train': pll['train'], 'pll_valid': pll['valid'],
+        'pll_test': pll['test'], 'cmll_test': cmll_test,
+        'train_wall': round(train_wall, 3), 'eval_wall': round(eval_wall, 3),
+        'samples_per_sec': round(exp.epoch * len(y_train)
+                                 / max(train_wall, 1e-9), 1),
+        'paper_pll': -info.paper_pll,
+    }
+    if logger:
+        logger.log_final(**result)
+        logger.close()
+    return result

@@ -46,6 +46,8 @@ class VqVaeConfig(NamedTuple):
     epsilon: float = 1e-5        # EMA Laplace smoothing
     fan_mode: str = 'tf_stacked'
     dtype: str = 'float32'
+    vq_impl: str = 'xla'         # 'xla' | 'pallas' | 'pallas_interpret'
+    matmul_precision: str = 'default'  # jax.default_matmul_precision name
 
     @property
     def effective_codes(self) -> int:
@@ -141,7 +143,7 @@ def apply_model(params, codebook, x: jax.Array, cfg: VqVaeConfig,
         latent, indices = out.output, q.naive_codes(z)
         e_loss, q_loss = out.e_loss, jnp.zeros((), z.dtype)
     else:
-        vq = q.vq_forward(z, codebook, weights)
+        vq = q.vq_forward(z, codebook, weights, impl=cfg.vq_impl)
         latent, indices, e_loss, q_loss = vq
     recon = _decode(params, latent)
     return ForwardOut(recon, z, indices, e_loss, q_loss)
@@ -153,7 +155,7 @@ def encode_codes(params, codebook, x: jax.Array, cfg: VqVaeConfig) -> jax.Array:
     z = encode(params, x)
     if cfg.quantizer == 'naive':
         return q.naive_codes(z)
-    return q.vq_codes(z, codebook)
+    return q.vq_codes(z, codebook, impl=cfg.vq_impl)
 
 
 def gather_variables(params, codebook, fts: jax.Array):

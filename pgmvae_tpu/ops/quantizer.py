@@ -44,9 +44,22 @@ def vq_distances(z: jax.Array, codebook: jax.Array) -> jax.Array:
     return z2 - 2.0 * cross + w2
 
 
-def vq_codes(z: jax.Array, codebook: jax.Array) -> jax.Array:
+def vq_codes(z: jax.Array, codebook: jax.Array,
+             impl: str = 'xla') -> jax.Array:
     """Nearest-codebook indices [n, B] (argmin over K; ties -> lowest index,
-    matching `tf.argmin`)."""
+    matching `tf.argmin`).
+
+    impl: 'xla' (default — XLA output-fuses the argmin into the distance
+    matmul on TPU), 'pallas' (fused VMEM kernel, ops/pallas_vq.py; wins at
+    small/medium shapes), or 'pallas_interpret' (for CPU tests).
+    """
+    if impl in ('pallas', 'pallas_interpret'):
+        from pgmvae_tpu.ops.pallas_vq import vq_codes_fused
+        # argmin carries no gradient; stop_gradient keeps tangents out of the
+        # kernel so it needs no JVP rule under jax.grad
+        return vq_codes_fused(jax.lax.stop_gradient(z),
+                              jax.lax.stop_gradient(codebook),
+                              interpret=(impl == 'pallas_interpret'))
     return jnp.argmin(vq_distances(z, codebook), axis=2).astype(jnp.int32)
 
 
@@ -75,14 +88,15 @@ class VqOut(NamedTuple):
 
 
 def vq_forward(z: jax.Array, codebook: jax.Array,
-               weights: Optional[jax.Array] = None) -> VqOut:
+               weights: Optional[jax.Array] = None,
+               impl: str = 'xla') -> VqOut:
     """Quantize with straight-through gradients and both latent losses.
 
     e_loss = mean((sg(q) - z)^2)   — commitment (ref quantizer.py:50,142)
     q_loss = mean((q - sg(z))^2)   — codebook   (ref quantizer.py:51)
     output = z + sg(q - z)         — ST estimator (ref quantizer.py:53,156)
     """
-    indices = vq_codes(z, codebook)
+    indices = vq_codes(z, codebook, impl=impl)
     quantized = vq_quantize(codebook, indices)
     e_loss = _masked_mean((jax.lax.stop_gradient(quantized) - z) ** 2, weights)
     q_loss = _masked_mean((quantized - jax.lax.stop_gradient(z)) ** 2, weights)

@@ -61,6 +61,10 @@ class Stage2:
         self._count = jax.jit(self._count_impl)
 
     def _count_impl(self, params, codebook, y, w):
+        with jax.default_matmul_precision(self.cfg.matmul_precision):
+            return self._count_body(params, codebook, y, w)
+
+    def _count_body(self, params, codebook, y, w):
         """y [steps*chunk, n_var] padded, w [steps*chunk] validity weights."""
         cfg, k, chunk = self.cfg, self.k, self.chunk
         steps = y.shape[0] // chunk

@@ -112,6 +112,10 @@ class Trainer:
         return None
 
     def train_step(self, state: TrainState, y: jax.Array, w: jax.Array):
+        with jax.default_matmul_precision(self.cfg.matmul_precision):
+            return self._train_step_impl(state, y, w)
+
+    def _train_step_impl(self, state: TrainState, y: jax.Array, w: jax.Array):
         cfg, mesh = self.cfg, self.mesh
         y = mesh.constrain(y, mesh.batch)
         x = leave_one_out_batch(y, self.idx_mat)

@@ -26,7 +26,6 @@ import argparse
 import os
 import random
 import sys
-import time
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -68,6 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help='data-parallel mesh axis size')
     p.add_argument('--mesh-model', type=int, default=1,
                    help='variable-axis model-parallel mesh size')
+    p.add_argument('--vq-impl', choices=['xla', 'pallas'], default='xla',
+                   help='nearest-codebook search implementation (pallas = '
+                        'fused VMEM kernel)')
+    p.add_argument('--precision', choices=['default', 'float32', 'highest'],
+                   default='default',
+                   help='matmul precision (default = bf16-input f32-accum '
+                        'on TPU; highest = full f32)')
     p.add_argument('--no-zero-debias', action='store_true',
                    help='plain moving average instead of the TF zero-debiased '
                         'default')
@@ -100,91 +106,40 @@ def main(argv=None) -> int:
     np.random.seed(args.seed)
 
     from pgmvae_tpu import REGISTRY
-    from pgmvae_tpu import checkpoint as ckpt
-    from pgmvae_tpu.data import load_split
-    from pgmvae_tpu.gibbs import conditional_marginal_log_likelihood
-    from pgmvae_tpu.models import VqVaeConfig
-    from pgmvae_tpu.parallel import MeshContext, make_mesh
-    from pgmvae_tpu.stage2 import Stage2
-    from pgmvae_tpu.train import Trainer
-    from pgmvae_tpu.utils import MetricLogger, append_result
-    from pgmvae_tpu.utils.logging import run_identifier
+    from pgmvae_tpu.driver import ExperimentConfig, run_experiment
+    from pgmvae_tpu.utils import append_result
 
     if args.name not in REGISTRY:
         print(f"error: unknown dataset '{args.name}'. Available: "
               f"{', '.join(sorted(REGISTRY))}", file=sys.stderr)
         return 2
-    info = REGISTRY[args.name]
-    quantizer = args.quantizer or ('ema' if args.ema else 'vq')
-    units = (tuple(int(u) for u in args.units.split(','))
-             if args.units else info.encoder_units(args.dim))
 
-    identifier = run_identifier(args.name, args.embedding, args.dim,
-                                args.batch, args.epoch, args.rate, args.cost,
-                                args.ema, args.decay, args.seed, args.note)
-    log_dir = os.path.join(os.curdir, 'logs', 'tuning', identifier)
-    logger = MetricLogger(log_dir)
+    exp = ExperimentConfig(
+        name=args.name, embedding=args.embedding, dim=args.dim,
+        batch=args.batch, epoch=args.epoch, rate=args.rate, cost=args.cost,
+        ema=args.ema, decay=args.decay, seed=args.seed, note=args.note,
+        quantizer=args.quantizer,
+        units=(tuple(int(u) for u in args.units.split(','))
+               if args.units else None),
+        mesh_data=args.mesh_data, mesh_model=args.mesh_model,
+        zero_debias=not args.no_zero_debias, vq_impl=args.vq_impl,
+        precision=args.precision, cmll=args.cmll,
+        checkpoint=args.checkpoint, resume=args.resume,
+        data_dir=args.data_dir, verbose=args.verbose,
+        log_dir=os.path.join(os.curdir, 'logs', 'tuning'))
+    exp.log_dir = os.path.join(exp.log_dir, exp.identifier)
 
-    cfg = VqVaeConfig(n_var=info.n_var, units=units, dim=args.dim,
-                      num_codes=args.embedding, cost=args.cost,
-                      decay=args.decay, quantizer=quantizer,
-                      zero_debias=not args.no_zero_debias)
-
-    mesh_ctx = MeshContext(None)
-    if args.mesh_data * args.mesh_model > 1:
-        mesh_ctx = MeshContext(make_mesh(args.mesh_data, args.mesh_model))
-
-    y_train = load_split(args.name, 'train', args.data_dir)
-    trainer = Trainer(cfg, args.rate, args.batch, len(y_train),
-                      mesh_ctx=mesh_ctx)
-    key = jax.random.PRNGKey(args.seed)
-    state = trainer.init_state(key)
     if args.resume:
-        _, state, _, _ = ckpt.load(args.resume, state_template=state)
-        state = trainer.shard_state(state)
-        print(f'resumed from {args.resume}', file=sys.stderr)
-
+        print(f'resuming from {args.resume}', file=sys.stderr)
     if args.profile:
-        jax.profiler.start_trace(log_dir)
-
-    t0 = time.time()
-    state, _ = trainer.fit(state, y_train, args.epoch, key,
-                           verbose=args.verbose, log_fn=logger.log_epoch)
-    jax.block_until_ready(state.params)
-    train_wall = time.time() - t0
-
+        jax.profiler.start_trace(exp.log_dir)
+    res = run_experiment(exp)
     if args.profile:
         jax.profiler.stop_trace()
 
-    # stage 2 (ref run.py:66-72): CPT from train, PLL on all three splits
-    codebook = trainer.codebook(state)
-    s2 = Stage2(cfg, mesh_ctx=mesh_ctx)
-    t1 = time.time()
-    dist = s2.cpt(state.params, codebook, y_train)
-    pll = {}
-    for split, y in (('train', y_train),
-                     ('valid', load_split(args.name, 'valid', args.data_dir)),
-                     ('test', load_split(args.name, 'test', args.data_dir))):
-        pll[split] = s2.pseudo_log_likelihood(state.params, codebook, y, dist)
-    eval_wall = time.time() - t1
-
-    cmll_test = 1  # reference hardcodes this when CMLL is off (run.py:77)
-    if args.cmll:
-        y_test = load_split(args.name, 'test', args.data_dir)
-        cmll_test = conditional_marginal_log_likelihood(
-            state.params, codebook, cfg, dist, y_test,
-            p1=max(info.n_var // 10, 1), num_smp=3000, burn_in=150,
-            key=jax.random.PRNGKey(args.seed))
-
-    if args.checkpoint:
-        ckpt.save(args.checkpoint, cfg, state, dist,
-                  extra={'identifier': identifier, 'pll': pll})
-
-    logger.log_final(identifier=identifier, train_wall=round(train_wall, 3),
-                     eval_wall=round(eval_wall, 3), **pll)
-    logger.close()
-    line = append_result(identifier, pll['train'], pll['valid'], pll['test'],
-                         cmll_test, path=args.result_file)
+    line = append_result(res['identifier'], res['pll_train'],
+                         res['pll_valid'], res['pll_test'], res['cmll_test'],
+                         path=args.result_file)
     print(line)
     return 0
 

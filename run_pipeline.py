@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Sweep runner: grids of (dataset x hyperparameter) cells with a resumable
+joblog — the TPU-native replacement for the reference's GNU-parallel
+orchestration (`batch-job.sh:43-52`, `parallel --retry-failed --joblog`) and
+its legacy hardcoded pipeline (`run_pipeline.py`).
+
+Cells run in-process (one TPU chip executes one cell at a time; XLA compile
+caches are reused across cells that share shapes — much cheaper than the
+reference's process-per-cell). Every cell's outcome is appended to a JSONL
+joblog; rerunning the same command skips cells already done (crash-resume),
+and `--retry-failed` re-runs only the failures — the reference's semantics,
+without GNU parallel.
+
+Grid flags accept comma-separated values, e.g.:
+  python run_pipeline.py -n kdd -k 1024,4096 -d 10 -b 32 -e 200 \
+      -r 2e-4 -c 0.35,0.4,0.45,0.5 -m -s 5 --joblog logs/kdd-sweep.jsonl
+mirrors the reference's active grid (batch-job.sh:43-52).
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+import sys
+import time
+import traceback
+
+
+def _csv(cast):
+    return lambda s: [cast(v) for v in s.split(',')]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument('--name', '-n', type=_csv(str), required=True)
+    p.add_argument('--embedding', '-k', type=_csv(int), required=True)
+    p.add_argument('--dim', '-d', type=_csv(int), required=True)
+    p.add_argument('--batch', '-b', type=_csv(int), default=[128])
+    p.add_argument('--epoch', '-e', type=int, default=200)
+    p.add_argument('--rate', '-r', type=_csv(float), default=[0.001])
+    p.add_argument('--cost', '-c', type=_csv(float), default=[0.25])
+    p.add_argument('--ema', '-m', action='store_true')
+    p.add_argument('--decay', '-g', type=_csv(float), default=[0.99])
+    p.add_argument('--seed', '-s', type=_csv(int), default=[0])
+    p.add_argument('--note', '-t', type=str, default='')
+    p.add_argument('--verbose', '-v', action='store_true')
+    p.add_argument('--joblog', type=str, default='logs/sweep-joblog.jsonl')
+    p.add_argument('--retry-failed', action='store_true',
+                   help='re-run cells whose last outcome was a failure')
+    p.add_argument('--result-file', type=str, default='result.txt')
+    p.add_argument('--mesh-data', type=int, default=1)
+    p.add_argument('--mesh-model', type=int, default=1)
+    p.add_argument('--vq-impl', choices=['xla', 'pallas'], default='xla')
+    p.add_argument('--precision', choices=['default', 'float32', 'highest'],
+                   default='default')
+    p.add_argument('--data-dir', type=str, default=None)
+    return p
+
+
+def load_joblog(path: str) -> dict:
+    """Last-writer-wins status per cell identifier."""
+    status = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                    status[rec['identifier']] = rec
+                except (json.JSONDecodeError, KeyError):
+                    continue
+    return status
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from pgmvae_tpu.driver import ExperimentConfig, run_experiment
+    from pgmvae_tpu.utils import append_result
+
+    cells = [
+        ExperimentConfig(name=name, embedding=k, dim=d, batch=b,
+                         epoch=args.epoch, rate=r, cost=c, ema=args.ema,
+                         decay=g, seed=s, note=args.note,
+                         mesh_data=args.mesh_data, mesh_model=args.mesh_model,
+                         vq_impl=args.vq_impl, precision=args.precision,
+                         data_dir=args.data_dir, verbose=args.verbose)
+        for name, k, d, b, r, c, g, s in itertools.product(
+            args.name, args.embedding, args.dim, args.batch, args.rate,
+            args.cost, args.decay, args.seed)
+    ]
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.joblog)), exist_ok=True)
+    status = load_joblog(args.joblog)
+    done = sum(1 for c in cells
+               if status.get(c.identifier, {}).get('ok', False))
+    print(f'sweep: {len(cells)} cells ({done} already done, '
+          f'joblog {args.joblog})', file=sys.stderr)
+
+    failures = 0
+    with open(args.joblog, 'a', buffering=1) as log:
+        for i, cell in enumerate(cells):
+            prev = status.get(cell.identifier)
+            if prev is not None:
+                if prev.get('ok'):
+                    continue
+                if not args.retry_failed:
+                    failures += 1
+                    continue
+            t0 = time.time()
+            rec = {'identifier': cell.identifier, 'ts': int(t0)}
+            try:
+                res = run_experiment(cell)
+                rec.update(ok=True, **{k: v for k, v in res.items()
+                                       if k != 'identifier'})
+                append_result(res['identifier'], res['pll_train'],
+                              res['pll_valid'], res['pll_test'],
+                              res['cmll_test'], path=args.result_file)
+                print(f"[{i + 1}/{len(cells)}] {cell.identifier} "
+                      f"pll-test={res['pll_test']:.5f} "
+                      f"(paper {res['paper_pll']:.2f}) "
+                      f"{res['train_wall']:.1f}s", file=sys.stderr)
+            except KeyboardInterrupt:
+                raise
+            except Exception as e:  # noqa: BLE001 — joblog records the cell
+                failures += 1
+                rec.update(ok=False, error=f'{type(e).__name__}: {e}',
+                           trace=traceback.format_exc()[-2000:])
+                print(f"[{i + 1}/{len(cells)}] {cell.identifier} "
+                      f"FAILED: {e}", file=sys.stderr)
+            rec['wall'] = round(time.time() - t0, 3)
+            log.write(json.dumps(rec) + '\n')
+    print(f'sweep finished: {failures} cells failed', file=sys.stderr)
+    return 1 if failures else 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
