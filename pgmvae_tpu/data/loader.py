@@ -29,7 +29,14 @@ from pgmvae_tpu import registry
 
 
 def load_binary_csv(path: str, n_var: int) -> np.ndarray:
-    """Load a 0/1 CSV with `n_var` columns into a uint8 array [N, n_var]."""
+    """Load a 0/1 CSV with `n_var` columns into a uint8 array [N, n_var].
+
+    Path order: native mmap+multithread parser (native/fastcsv.cpp) ->
+    numpy byte-stride parse -> general np.genfromtxt."""
+    from pgmvae_tpu.data import native
+    arr = native.parse_binary_csv(path, n_var)
+    if arr is not None:
+        return arr
     with open(path, 'rb') as f:
         buf = f.read()
     row_bytes = 2 * n_var  # digits + commas + '\n'

@@ -12,7 +12,6 @@ import dataclasses
 import time
 from typing import Optional, Tuple
 
-import numpy as np
 
 
 @dataclasses.dataclass

@@ -25,7 +25,7 @@ the leave-one-out gather from samples y [B, n_var] happens in the caller
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -35,14 +35,25 @@ class DatasetInfo:
         return default_units(self.n_var, dim)
 
 
-def default_units(n_var: int, dim: int) -> Tuple[int, int, int, int]:
+def default_units(n_var: int, dim: int,
+                  hbm_budget_bytes: float = 10e9) -> Tuple[int, int, int, int]:
     """Encoder width heuristic for datasets without hand-tuned widths.
 
     Follows the shape of the commented heuristic in reference `run.py:42-45`
     (each layer a decreasing fraction of n_var, capped at 200, floored at the
     latent dim); the reference never activated it, so this is our rule.
+
+    Additional single-chip memory guard (the reference, which materialized
+    the whole dataset and crashed on untuned datasets anyway, had no
+    equivalent): the first/last stacked kernels are [n_var, n_var-1, u0], and
+    empirically f32 training costs ~80*n_var^2*u0 bytes for them (params +
+    2 Adam moments + grads + XLA temp/remat copies; calibrated on bbc
+    n=1058, where u0=169 OOMs and u0=128 fits a 16 GB v5e). Only bites for
+    n_var >~ 790 (webkb-size and up). Sharding the variable axis over more
+    chips (--mesh-model) raises the effective budget proportionally.
     """
-    u0 = max(min(n_var // 2, 200), dim)
+    mem_cap = max(int(hbm_budget_bytes / (80.0 * n_var * n_var)), 8)
+    u0 = max(min(n_var // 2, 200, mem_cap), dim)
     u1 = max(min(n_var // 3, u0), dim)
     u2 = max(min(n_var // 5, u1), dim)
     u3 = max(min(n_var // 8, u2), dim)

@@ -43,9 +43,13 @@ LOG_EPS = 1e-5      # reference core/model.py:93-94
 
 
 def auto_chunk(n_var: int, num_codes: int, budget_bytes: int = 1 << 28) -> int:
-    """Chunk size keeping the [n_var, chunk, K] one-hot under ~256 MB."""
-    per_row = max(1, n_var * num_codes * 4)
-    return int(max(64, min(8192, budget_bytes // per_row)))
+    """Chunk size bounding per-chunk device buffers to ~256 MB.
+
+    The dominant f32 buffers per chunk row are the leave-one-out views
+    [n_var, chunk, n_var-1], the one-hot [n_var, chunk, K], and the first
+    hidden activation [n_var, chunk, u0<=256]."""
+    per_row = max(1, n_var * (n_var + num_codes + 256) * 4)
+    return int(max(32, min(8192, budget_bytes // per_row)))
 
 
 class Stage2:

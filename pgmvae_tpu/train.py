@@ -28,7 +28,6 @@ Adam uses eps=1e-7 (the Keras default) rather than optax's 1e-8.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax

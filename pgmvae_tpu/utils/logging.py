@@ -16,7 +16,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Optional
 
 
 def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
@@ -28,14 +27,25 @@ def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
 
 
 class MetricLogger:
-    """Append-only JSONL epoch metrics under logs/tuning/<identifier>/."""
+    """Per-run observability: append-only JSONL epoch metrics under
+    logs/tuning/<identifier>/, plus TensorBoard event files in the same
+    directory when a writer is importable (torch's, here) — preserving the
+    reference's TensorBoard contract (reference run.py:39-40) without a TF
+    dependency. TensorBoard is best-effort; JSONL is the source of truth."""
 
-    def __init__(self, log_dir: str):
+    def __init__(self, log_dir: str, tensorboard: bool = True):
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self._path = os.path.join(log_dir, 'metrics.jsonl')
         self._f = open(self._path, 'a', buffering=1)
         self._t0 = time.time()
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(log_dir=log_dir)
+            except Exception:  # noqa: BLE001 — TB is optional observability
+                self._tb = None
 
     def log_epoch(self, epoch: int, metrics) -> None:
         rec = {'epoch': epoch, 'wall': round(time.time() - self._t0, 3)}
@@ -43,14 +53,25 @@ class MetricLogger:
             metrics = metrics._asdict()
         rec.update({k: float(v) for k, v in dict(metrics).items()})
         self._f.write(json.dumps(rec) + '\n')
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k not in ('epoch',):
+                    self._tb.add_scalar(f'epoch/{k}', v, epoch)
 
     def log_final(self, **kv) -> None:
         rec = {'final': True, 'wall': round(time.time() - self._t0, 3)}
         rec.update(kv)
         self._f.write(json.dumps(rec) + '\n')
+        if self._tb is not None:
+            for k, v in rec.items():
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    self._tb.add_scalar(f'final/{k}', v, 0)
+            self._tb.flush()
 
     def close(self) -> None:
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def append_result(identifier: str, pll_train, pll_valid, pll_test,

@@ -102,6 +102,12 @@ def main(argv=None) -> int:
     import jax
     if args.device == -1:                          # ref run.py:27-28
         jax.config.update('jax_platforms', 'cpu')
+    elif args.device > 0:
+        # pin a specific accelerator, mirroring the reference's
+        # set_visible_devices(gpus[device]) (ref run.py:30-31)
+        devs = jax.devices()
+        if args.device < len(devs):
+            jax.config.update('jax_default_device', devs[args.device])
     import numpy as np
     np.random.seed(args.seed)
 

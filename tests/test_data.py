@@ -19,9 +19,12 @@ def test_default_units_rule():
     # dna has no tuned units -> heuristic; floored at dim, capped at 200
     u = registry.REGISTRY['dna'].encoder_units(dim=10)
     assert u == (90, 60, 36, 22)
+    # huge-n datasets get the single-chip memory cap (80*n^2*u0 budget rule)
     u = registry.REGISTRY['ad'].encoder_units(dim=30)
-    assert u == (200, 200, 200, 194)
+    assert u == (51, 51, 51, 51)
     assert registry.default_units(16, 20) == (20, 20, 20, 20)
+    # unconstrained with a bigger budget (e.g. variable-axis sharding)
+    assert registry.default_units(1556, 30, hbm_budget_bytes=8 * 10e9)[0] == 200
 
 
 def test_fast_loader_matches_genfromtxt():

@@ -4,7 +4,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pgmvae_tpu.gibbs import (LOG_EPS, conditional_marginal_log_likelihood,
+from pgmvae_tpu.gibbs import (conditional_marginal_log_likelihood,
                               get_probability)
 from pgmvae_tpu.models import VqVaeConfig, init_model, encode_codes
 

@@ -104,6 +104,23 @@ def test_loss_decreases():
     assert int(st.step) == 30 * 4
 
 
+def test_fixed_seed_is_deterministic():
+    """Same seed -> bit-identical trained params and codebook (mirrors the
+    reference's full seeding at run.py:34-37; here via counter-based PRNG)."""
+    y = _data(40, seed=9)
+
+    def train():
+        tr = Trainer(CFG, 0.01, 16, len(y))
+        st = tr.init_state(jax.random.PRNGKey(11))
+        st, _ = tr.fit(st, y, 3, jax.random.PRNGKey(11))
+        return st, tr.codebook(st)
+
+    (s1, c1), (s2, c2) = train(), train()
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
 def test_ema_codebook_update_is_pure_ema():
     """In EMA mode the codebook after one train step must be EXACTLY the
     ema_update of the pre-step statistics — Adam must not touch it
