@@ -14,8 +14,9 @@ disabled in the canonical driver at `run.py:73-77`):
 
 TPU-native re-design: the reference's Python-side `tf.map_fn` loops and
 in-place `tf.Variable` writes become ONE jitted `lax.fori_loop` with a
-functional (state, counts) carry; the per-block leave-one-out view and the
-per-block network selection are vmapped gathers (the `fts` path). The chain
+functional (state, counts) carry; per-block network selection is one gather
+per stacked leaf (the `fts` path), and the per-block leave-one-out view
+costs nothing — the padded masked design feeds the whole chain state. The chain
 itself is inherently sequential in i — that is the algorithm, not a
 limitation. Randomness is JAX counter-based PRNG (fold_in per step), so runs
 are reproducible and parallel-safe.
@@ -35,21 +36,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pgmvae_tpu.data.loader import leave_one_out_index
 from pgmvae_tpu.models import vqvae
 
 LOG_EPS = 1e-5  # reference core/model.py:148
 
 
-def get_probability(params, codebook, cfg, dist, x, fts):
-    """p(y_v = 1 | code_v(x)) for the selected variables (reference
+def get_probability(params, codebook, cfg, dist, y, fts):
+    """p(y_v = 1 | code_v(y_{-v})) for the selected variables (reference
     `core/model.py:98-108`).
 
-    x: [n_sel, B, n_var-1] leave-one-out views; fts: [n_sel] variable ids.
+    y: full-width samples — [B, n_var] shared across selections, or
+    [n_sel, B, n_var] one state per selection (the Gibbs case). Each selected
+    network masks out its own variable internally (padded leave-one-out), so
+    callers never build [.., n_var-1] views. fts: [n_sel] variable ids.
     Returns [n_sel, B] probabilities gathered from the CPT `dist`.
     """
     sub_params, sub_codebook = vqvae.gather_variables(params, codebook, fts)
-    codes = vqvae.encode_codes(sub_params, sub_codebook, x, cfg)  # [n_sel,B]
+    codes = vqvae.encode_codes(sub_params, sub_codebook, y, cfg,
+                               var_ids=fts)                       # [n_sel,B]
     prb = jnp.take(dist, fts, axis=0)                             # [n_sel,K]
     return jnp.take_along_axis(prb, codes, axis=1)
 
@@ -62,15 +66,14 @@ def _cmll_impl(params, codebook, cfg: vqvae.VqVaeConfig, dist, x,
     vol = np.concatenate([np.full(blocks - 1, p1), [n - p1 * (blocks - 1)]])
     marker = np.arange(blocks) * p1
     vol_j, marker_j = jnp.asarray(vol), jnp.asarray(marker)
-    idx_mat = jnp.asarray(leave_one_out_index(n))
     bid = jnp.arange(blocks)
 
     def step(i, carry):
         state, cnt = carry                       # [blocks,B,n], [B,n]
         y = marker_j + jnp.mod(i, vol_j)         # variable per block
-        # per-block leave-one-out view of the chain state
-        xs = jax.vmap(lambda s_b, y_b: s_b[:, idx_mat[y_b]])(state, y)
-        prb = get_probability(params, codebook, cfg, dist, xs, y)
+        # padded design: the chain state goes in whole; each block's network
+        # masks its own variable internally — no per-block gather
+        prb = get_probability(params, codebook, cfg, dist, state, y)
         u = jax.random.uniform(jax.random.fold_in(key, i), (blocks, batch))
         gibbs = (u < prb).astype(state.dtype)
         state = state.at[bid[:, None], jnp.arange(batch)[None, :],

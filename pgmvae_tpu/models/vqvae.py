@@ -18,9 +18,21 @@ Architecture (reference `core/model.py:19-36`):
 The reference hardcodes exactly 4 hidden widths (and crashes on fewer, e.g.
 its own `core/model.py:161` self-test); we accept any depth >= 1.
 
-Layout convention: model-facing tensors are variable-major [n_var, B, ...];
-the leave-one-out gather from samples y [B, n_var] happens in the caller
-(see `pgmvae_tpu/train.py`), never materialized per-dataset.
+Leave-one-out layout — the **padded masked design** (deliberately different
+from the reference's gathered `[n, B, n-1]` views, reference `run.py:46-50`):
+every network sees the FULL sample y [B, n_var] with its own variable's
+input multiplied by zero, and reconstructs full width with its own position
+masked out of the loss. This is mathematically identical to removing the
+column — a zeroed input contributes nothing forward and receives zero
+gradient, so the diagonal weight rows/columns are inert at their init — but
+it is the shape TPUs want:
+- no per-element gather (at n=1058 the gathered views cost more than the
+  matmuls, and the [n, n-1] index table baked into the program as a
+  multi-MB constant breaks/balloons compiles);
+- the mask is generated from iota comparisons inside the kernel (no
+  constants) and fuses into the matmul operand read;
+- first/last layers become dense [n, n, u] stacks, which XLA tiles better.
+Model-facing tensors are variable-major [n_or_f, B, n_var].
 """
 
 from __future__ import annotations
@@ -56,7 +68,7 @@ class VqVaeConfig(NamedTuple):
 
 
 class ForwardOut(NamedTuple):
-    recon: jax.Array          # [n, B, n-1] sigmoid reconstruction
+    recon: jax.Array          # [n, B, n_var] sigmoid recon (diag masked)
     z: jax.Array              # [n, B, D] pre-quantization latents
     indices: jax.Array        # [n, B] code assignments
     e_loss: jax.Array         # commitment loss
@@ -64,11 +76,26 @@ class ForwardOut(NamedTuple):
 
 
 def _layer_dims(cfg: VqVaeConfig):
-    enc_in = (cfg.n_var - 1,) + tuple(cfg.units)
+    # padded layout: first input and last output are full n_var wide; the
+    # diagonal row/column of those stacked kernels is inert (see module doc)
+    enc_in = (cfg.n_var,) + tuple(cfg.units)
     enc_out = tuple(cfg.units) + (cfg.dim,)
     dec_in = (cfg.dim,) + tuple(reversed(cfg.units))
-    dec_out = tuple(reversed(cfg.units)) + (cfg.n_var - 1,)
+    dec_out = tuple(reversed(cfg.units)) + (cfg.n_var,)
     return tuple(zip(enc_in, enc_out)), tuple(zip(dec_in, dec_out))
+
+
+def loo_mask(n_var: int, var_ids: Optional[jax.Array] = None,
+             dtype=jnp.float32) -> jax.Array:
+    """Leave-one-out mask [F, 1, n_var]: 0 at each selected network's own
+    variable, 1 elsewhere. Built from iota comparison — no constants in the
+    compiled program."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_var), 2)
+    if var_ids is None:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n_var, 1, 1), 0)
+    else:
+        rows = var_ids.astype(jnp.int32)[:, None, None]
+    return (col != rows).astype(dtype)
 
 
 def init_model(key: jax.Array, cfg: VqVaeConfig):
@@ -116,9 +143,19 @@ def _dense_stack(layers, x, activation):
     return x
 
 
-def encode(params, x: jax.Array) -> jax.Array:
-    """Leave-one-out views [n,B,n-1] -> latents z [n,B,D] (all-selu encoder,
-    ref core/model.py:42-46)."""
+def encode(params, y: jax.Array,
+           var_ids: Optional[jax.Array] = None) -> jax.Array:
+    """Samples y [B, n_var] -> latents z [F, B, D] (all-selu encoder,
+    ref core/model.py:42-46). Network f sees y with its own variable's input
+    masked to zero (padded leave-one-out; see module doc). `var_ids` selects
+    a subset of networks (the reference's `fts`); params must already be
+    gathered to match (see gather_variables)."""
+    w0 = params['enc'][0][0]
+    n_var = w0.shape[1]
+    mask = loo_mask(n_var, var_ids, y.dtype)
+    # y may be [B, n] (shared across networks) or [F, B, n] (one state per
+    # selected network — the Gibbs chain case)
+    x = (y[None, :, :] if y.ndim == 2 else y) * mask
     return _dense_stack(params['enc'], x, jax.nn.selu)
 
 
@@ -130,14 +167,17 @@ def _decode(params, x: jax.Array) -> jax.Array:
                                      preferred_element_type=x.dtype) + b)
 
 
-def apply_model(params, codebook, x: jax.Array, cfg: VqVaeConfig,
-                weights: Optional[jax.Array] = None) -> ForwardOut:
-    """Full forward pass (ref core/model.py:39-55, variable-major layout).
+def apply_model(params, codebook, y: jax.Array, cfg: VqVaeConfig,
+                weights: Optional[jax.Array] = None,
+                var_ids: Optional[jax.Array] = None) -> ForwardOut:
+    """Full forward pass (ref core/model.py:39-55): y [B, n_var] ->
+    recon [F, B, n_var] (each network's own column is inert — mask it out of
+    any loss with `loo_mask`).
 
     `weights` are optional per-sample weights on the batch axis (0/1 mask for
     ragged final batches) applied to every mean-reduction.
     """
-    z = encode(params, x)
+    z = encode(params, y, var_ids)
     if cfg.quantizer == 'naive':
         out = q.naive_forward(z, weights)
         latent, indices = out.output, q.naive_codes(z)
@@ -149,10 +189,11 @@ def apply_model(params, codebook, x: jax.Array, cfg: VqVaeConfig,
     return ForwardOut(recon, z, indices, e_loss, q_loss)
 
 
-def encode_codes(params, codebook, x: jax.Array, cfg: VqVaeConfig) -> jax.Array:
-    """Encoder + quantizer only -> code indices [n_or_f, B] (the reference's
+def encode_codes(params, codebook, y: jax.Array, cfg: VqVaeConfig,
+                 var_ids: Optional[jax.Array] = None) -> jax.Array:
+    """Encoder + quantizer only -> code indices [F, B] (the reference's
     `code_only=True` path, ref core/model.py:48, quantizer.py:54-56)."""
-    z = encode(params, x)
+    z = encode(params, y, var_ids)
     if cfg.quantizer == 'naive':
         return q.naive_codes(z)
     return q.vq_codes(z, codebook, impl=cfg.vq_impl)

@@ -23,10 +23,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from pgmvae_tpu import checkpoint as ckpt
-from pgmvae_tpu.data.loader import leave_one_out_index
 from pgmvae_tpu.models import vqvae
 from pgmvae_tpu.stage2 import LOG_EPS
-from pgmvae_tpu.train import Trainer, leave_one_out_batch
+from pgmvae_tpu.train import Trainer
 
 
 class PgmModel:
@@ -39,7 +38,6 @@ class PgmModel:
         self.codebook = codebook
         self.dist = np.asarray(dist, np.float64)
         self._dist32 = jnp.asarray(self.dist.astype(np.float32))
-        self._idx_mat = jnp.asarray(leave_one_out_index(cfg.n_var))
         self._codes = jax.jit(self._codes_impl)
         self._score = jax.jit(self._score_impl)
         self._cond = jax.jit(self._cond_impl)
@@ -59,8 +57,7 @@ class PgmModel:
 
     # ------------------------------------------------------------------ --
     def _codes_impl(self, y):
-        x = leave_one_out_batch(y, self._idx_mat)
-        return vqvae.encode_codes(self.params, self.codebook, x, self.cfg)
+        return vqvae.encode_codes(self.params, self.codebook, y, self.cfg)
 
     def codes(self, y) -> np.ndarray:
         """[B, n_var] int32: the tied-parameter code of each (sample,
@@ -87,8 +84,10 @@ class PgmModel:
         return get_probability(self.params, self.codebook, self.cfg,
                                self._dist32, x, fts)
 
-    def conditional_probability(self, x, fts) -> np.ndarray:
-        """p(y_v=1 | x) for variables `fts` [F] given leave-one-out views
-        x [F, B, n_var-1] (reference get_probability semantics)."""
-        return np.asarray(self._cond(jnp.asarray(x, jnp.float32),
+    def conditional_probability(self, y, fts) -> np.ndarray:
+        """p(y_v=1 | y_{-v}) for variables `fts` [F], given full-width
+        samples y — [B, n_var] shared, or [F, B, n_var] one state per
+        selection; each network masks its own variable internally
+        (reference get_probability semantics, core/model.py:98-108)."""
+        return np.asarray(self._cond(jnp.asarray(y, jnp.float32),
                                      jnp.asarray(fts, jnp.int32)))

@@ -33,10 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pgmvae_tpu.data.loader import leave_one_out_index
 from pgmvae_tpu.models import vqvae
 from pgmvae_tpu.parallel.mesh import MeshContext
-from pgmvae_tpu.train import leave_one_out_batch
 
 SMOOTHING = 0.8     # reference core/model.py:88
 LOG_EPS = 1e-5      # reference core/model.py:93-94
@@ -61,7 +59,6 @@ class Stage2:
         self.k = cfg.effective_codes
         self.chunk = int(chunk or auto_chunk(cfg.n_var, self.k))
         self.mesh = mesh_ctx or MeshContext(None)
-        self.idx_mat = jnp.asarray(leave_one_out_index(cfg.n_var))
         self._count = jax.jit(self._count_impl)
 
     def _count_impl(self, params, codebook, y, w):
@@ -79,10 +76,7 @@ class Stage2:
             n1, n0 = carry
             yb, wb = inp
             yb = self.mesh.constrain(yb, self.mesh.batch)
-            x = leave_one_out_batch(yb, self.idx_mat)
-            x = self.mesh.constrain(
-                x, jax.sharding.PartitionSpec('model', 'data', None))
-            codes = vqvae.encode_codes(params, codebook, x, cfg)   # [n,B]
+            codes = vqvae.encode_codes(params, codebook, yb, cfg)  # [n,B]
             onehot = jax.nn.one_hot(codes, k, dtype=yb.dtype)      # [n,B,K]
             onehot = onehot * wb[None, :, None]
             n1 = n1 + jnp.einsum('nbk,bn->nk', onehot, yb,

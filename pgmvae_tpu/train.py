@@ -8,9 +8,12 @@ reference `run.py:59-62`):
   batches, Adam + EMA updates — with zero host round-trips per step. Keras
   dispatches a graph per step from Python; this is where most of the per-chip
   throughput win comes from for these small models.
-- Leave-one-out inputs are gathered on device per batch from the raw samples
-  (`y[:, idx]`), never materialized as the reference's `[N, n_var, n_var-1]`
-  host tensor (reference `run.py:46-56`, TODO at `run.py:53`).
+- Leave-one-out is the padded masked design (see models/vqvae.py): raw
+  samples y [B, n_var] go straight into the jitted step; masks come from
+  iota comparisons. Neither the reference's materialized
+  `[N, n_var, n_var-1]` host tensor (reference `run.py:46-56`, TODO at
+  `run.py:53`) nor any gather/index-table exists — at n_var~1000 the gather
+  costs more than the matmuls and its index constant balloons compiles.
 - Ragged final batches are handled with a sentinel-padded permutation and a
   0/1 weight vector threaded through every mean/statistic, reproducing
   Keras's smaller-final-batch semantics with static shapes.
@@ -35,7 +38,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from pgmvae_tpu.data.loader import leave_one_out_index
 from pgmvae_tpu.models import vqvae
 from pgmvae_tpu.ops import quantizer as q
 from pgmvae_tpu.parallel.mesh import MeshContext, shard_leading_axis
@@ -55,15 +57,14 @@ class EpochMetrics(NamedTuple):
     perplexity: jax.Array  # codebook usage: exp(entropy of code histogram)
 
 
-def leave_one_out_batch(y: jax.Array, idx_mat: jax.Array) -> jax.Array:
-    """y [B, n_var] -> leave-one-out views [n_var, B, n_var-1]."""
-    return jnp.transpose(y[:, idx_mat], (1, 0, 2))
-
-
-def _weighted_mean(x, w):
-    """Mean over a [n, B, f] tensor with per-batch weights w [B]."""
-    return jnp.sum(x * w[None, :, None]) / (x.shape[0] * x.shape[2]
-                                            * jnp.maximum(jnp.sum(w), 1.0))
+def _masked_recon_mean(x, w, mask):
+    """Mean over a [n, B, n] tensor with per-batch weights w [B] and the
+    leave-one-out mask [n, 1, n] (each network's own column excluded) —
+    denominator n*(n-1)*sum(w), matching the reference's mean over the
+    gathered [n, B, n-1] views."""
+    n = x.shape[0]
+    return jnp.sum(x * mask * w[None, :, None]) / (
+        n * (n - 1) * jnp.maximum(jnp.sum(w), 1.0))
 
 
 class Trainer:
@@ -79,7 +80,6 @@ class Trainer:
         self.steps_per_epoch = math.ceil(self.n_train / self.batch_size)
         self.mesh = mesh_ctx or MeshContext(None)
         self.optimizer = optax.adam(learning_rate, eps=adam_eps)
-        self.idx_mat = jnp.asarray(leave_one_out_index(cfg.n_var))
         self._run_epoch = jax.jit(self._epoch_impl, donate_argnums=(0,))
         self._shard_rule = shard_leading_axis(cfg.n_var)
 
@@ -117,8 +117,7 @@ class Trainer:
     def _train_step_impl(self, state: TrainState, y: jax.Array, w: jax.Array):
         cfg, mesh = self.cfg, self.mesh
         y = mesh.constrain(y, mesh.batch)
-        x = leave_one_out_batch(y, self.idx_mat)
-        x = mesh.constrain(x, jax.sharding.PartitionSpec('model', 'data', None))
+        mask = vqvae.loo_mask(cfg.n_var, None, y.dtype)
 
         def loss_fn(params):
             if cfg.quantizer == 'vq':
@@ -127,8 +126,10 @@ class Trainer:
                 codebook = state.ema.codebook       # EMA-assigned, no grads
             else:
                 codebook = None                     # naive: implicit D-cube
-            out = vqvae.apply_model(params, codebook, x, cfg, weights=w)
-            mse = _weighted_mean((out.recon - x) ** 2, w)
+            out = vqvae.apply_model(params, codebook, y, cfg, weights=w)
+            recon = mesh.constrain(
+                out.recon, jax.sharding.PartitionSpec('model', 'data', None))
+            mse = _masked_recon_mean((recon - y[None]) ** 2, w, mask)
             if cfg.quantizer == 'vq':
                 aux = out.q_loss + cfg.cost * out.e_loss
             else:  # 'ema' and 'naive': commitment term only
@@ -153,7 +154,7 @@ class Trainer:
             counts, _ = q.code_stats(out.z, out.indices,
                                      cfg.effective_codes, weights=w)
 
-        mae = _weighted_mean(jnp.abs(out.recon - x), w)
+        mae = _masked_recon_mean(jnp.abs(out.recon - y[None]), w, mask)
         p = counts / jnp.maximum(jnp.sum(counts, axis=1, keepdims=True), 1.0)
         perplexity = jnp.mean(jnp.exp(-jnp.sum(
             p * jnp.log(jnp.maximum(p, 1e-12)), axis=1)))

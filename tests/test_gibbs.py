@@ -17,13 +17,13 @@ def test_get_probability_gathers_dist():
     dist = jnp.asarray(rng.uniform(size=(CFG.n_var, CFG.num_codes))
                        .astype(np.float32))
     fts = jnp.asarray([2, 5, 7])
-    x = jnp.asarray(rng.integers(0, 2, size=(3, 11, CFG.n_var - 1))
+    y = jnp.asarray(rng.integers(0, 2, size=(3, 11, CFG.n_var))
                     .astype(np.float32))
-    prb = get_probability(params, codebook, CFG, dist, x, fts)
+    prb = get_probability(params, codebook, CFG, dist, y, fts)
     # oracle: full-model codes for those variables, then dist lookup
     from pgmvae_tpu.models import gather_variables
     sp, sc = gather_variables(params, codebook, fts)
-    codes = np.asarray(encode_codes(sp, sc, x, CFG))
+    codes = np.asarray(encode_codes(sp, sc, y, CFG, var_ids=fts))
     expect = np.asarray(dist)[np.asarray(fts)[:, None], codes]
     np.testing.assert_allclose(np.asarray(prb), expect, rtol=1e-6)
 

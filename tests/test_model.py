@@ -1,13 +1,16 @@
 """Model-level tests: the batched model must be exactly n_var independent
 MLPs (the reference's core capability, reference core/dense.py:15-111), plus
-init-scale and variable-subset (fts) behavior."""
+init-scale and variable-subset (fts) behavior.
+
+The oracle reflects the padded masked leave-one-out design: network v sees
+the full sample with its own variable's input zeroed — identical math to the
+reference's gathered [.., n_var-1] views (zero input contributes nothing)."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from pgmvae_tpu.models import vqvae
-from pgmvae_tpu.ops import quantizer as q
 
 CFG = vqvae.VqVaeConfig(n_var=6, units=(7, 5), dim=4, num_codes=9,
                         cost=0.25, decay=0.99, quantizer='ema')
@@ -22,9 +25,11 @@ def _np_sigmoid(x):
     return 1.0 / (1.0 + np.exp(-x))
 
 
-def _np_single_forward(params, codebook, x_v, v):
-    """Independent per-variable MLP in NumPy using variable v's weight slices."""
-    h = x_v
+def _np_single_forward(params, codebook, y, v):
+    """Independent per-variable MLP in NumPy: full-width input with column v
+    zeroed, variable v's weight slices."""
+    h = y.copy()
+    h[:, v] = 0.0
     for w, b in params['enc']:
         h = _np_selu(h @ np.asarray(w)[v] + np.asarray(b)[v, 0])
     z = h
@@ -40,23 +45,63 @@ def _np_single_forward(params, codebook, x_v, v):
 def test_batched_model_equals_independent_mlps():
     key = jax.random.PRNGKey(42)
     params, codebook = vqvae.init_model(key, CFG)
-    x = jax.random.normal(jax.random.PRNGKey(1), (CFG.n_var, 11, CFG.n_var - 1))
-    out = vqvae.apply_model(params, codebook, x, CFG)
-    xn = np.asarray(x)
+    y = jax.random.uniform(jax.random.PRNGKey(1), (11, CFG.n_var))
+    out = vqvae.apply_model(params, codebook, y, CFG)
+    yn = np.asarray(y)
     for v in range(CFG.n_var):
-        recon_v, idx_v = _np_single_forward(params, codebook, xn[v], v)
+        recon_v, idx_v = _np_single_forward(params, codebook, yn, v)
         np.testing.assert_allclose(np.asarray(out.recon)[v], recon_v,
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(out.indices)[v], idx_v)
 
 
+def test_own_variable_is_inert():
+    """Flipping variable v in the input must not change network v's output
+    (the padded mask) — the defining property of leave-one-out."""
+    params, codebook = vqvae.init_model(jax.random.PRNGKey(3), CFG)
+    y = (jax.random.uniform(jax.random.PRNGKey(4), (5, CFG.n_var))
+         < 0.5).astype(jnp.float32)
+    out_a = vqvae.apply_model(params, codebook, y, CFG)
+    for v in range(CFG.n_var):
+        y_flip = y.at[:, v].set(1.0 - y[:, v])
+        out_b = vqvae.apply_model(params, codebook, y_flip, CFG)
+        np.testing.assert_allclose(np.asarray(out_b.recon)[v],
+                                   np.asarray(out_a.recon)[v],
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(out_b.indices)[v],
+                                      np.asarray(out_a.indices)[v])
+
+
+def test_inert_weights_get_zero_gradient():
+    """The diagonal row of enc0 and diagonal column of dec_last carry no
+    gradient (masked input / masked loss)."""
+    params, codebook = vqvae.init_model(jax.random.PRNGKey(5), CFG)
+    y = (jax.random.uniform(jax.random.PRNGKey(6), (8, CFG.n_var))
+         < 0.5).astype(jnp.float32)
+    mask = vqvae.loo_mask(CFG.n_var, None, jnp.float32)
+
+    def loss(params):
+        out = vqvae.apply_model(params, codebook, y, CFG)
+        mse = jnp.sum(((out.recon - y[None]) ** 2) * mask)
+        return mse + CFG.cost * out.e_loss
+
+    g = jax.grad(loss)(params)
+    g_enc0 = np.asarray(g['enc'][0][0])           # [n, n, u0]
+    g_dec9 = np.asarray(g['dec'][-1][0])          # [n, u_last, n]
+    for v in range(CFG.n_var):
+        np.testing.assert_allclose(g_enc0[v, v, :], 0.0, atol=1e-8)
+        np.testing.assert_allclose(g_dec9[v, :, v], 0.0, atol=1e-8)
+    # off-diagonal gradients are NOT all zero
+    assert np.abs(g_enc0).max() > 0
+
+
 def test_init_shapes_and_scales():
     params, codebook = vqvae.init_model(jax.random.PRNGKey(0), CFG)
     (w0, b0) = params['enc'][0]
-    assert w0.shape == (6, 5, 7) and b0.shape == (6, 1, 7)
+    assert w0.shape == (6, 6, 7) and b0.shape == (6, 1, 7)
     assert codebook.shape == (6, 4, 9)
     # stacked-fan he_uniform limit: sqrt(6 / (n_var * fan_in))
-    limit = np.sqrt(6.0 / (6 * 5))
+    limit = np.sqrt(6.0 / (6 * 6))
     assert float(jnp.max(jnp.abs(w0))) <= limit + 1e-6
     assert float(jnp.max(jnp.abs(w0))) > 0.8 * limit  # actually fills range
     # codebook: VarianceScaling uniform limit sqrt(3 / (n_var * D))
@@ -72,13 +117,16 @@ def test_gather_variables_fts_path():
     """encode_codes on a gathered subset == subset of full encode_codes
     (the reference's fts partial-evaluation path, core/model.py:98-108)."""
     params, codebook = vqvae.init_model(jax.random.PRNGKey(7), CFG)
-    x = jax.random.normal(jax.random.PRNGKey(2), (CFG.n_var, 13, CFG.n_var - 1))
-    full = vqvae.encode_codes(params, codebook, x, CFG)
+    y = jax.random.uniform(jax.random.PRNGKey(2), (13, CFG.n_var))
+    full = vqvae.encode_codes(params, codebook, y, CFG)
     fts = jnp.asarray([4, 1, 3])
     sub_params, sub_codebook = vqvae.gather_variables(params, codebook, fts)
-    sub = vqvae.encode_codes(sub_params, sub_codebook, x[jnp.asarray([4, 1, 3])],
-                             CFG)
+    sub = vqvae.encode_codes(sub_params, sub_codebook, y, CFG, var_ids=fts)
     np.testing.assert_array_equal(np.asarray(sub), np.asarray(full)[[4, 1, 3]])
+    # per-selection states [F, B, n] also supported (the Gibbs case)
+    y3 = jnp.stack([y, y * 0, y])[..., :]
+    sub3 = vqvae.encode_codes(sub_params, sub_codebook, y3, CFG, var_ids=fts)
+    np.testing.assert_array_equal(np.asarray(sub3)[0], np.asarray(full)[4])
 
 
 def test_variable_depth_units():
@@ -87,9 +135,9 @@ def test_variable_depth_units():
     for units in [(5,), (8, 6, 5), (9, 8, 7, 6, 5)]:
         cfg = CFG._replace(units=units)
         params, codebook = vqvae.init_model(jax.random.PRNGKey(0), cfg)
-        x = jnp.ones((cfg.n_var, 3, cfg.n_var - 1))
-        out = vqvae.apply_model(params, codebook, x, cfg)
-        assert out.recon.shape == (cfg.n_var, 3, cfg.n_var - 1)
+        y = jnp.ones((3, cfg.n_var))
+        out = vqvae.apply_model(params, codebook, y, cfg)
+        assert out.recon.shape == (cfg.n_var, 3, cfg.n_var)
         assert len(params['enc']) == len(units) + 1
 
 
@@ -97,8 +145,8 @@ def test_naive_quantizer_model():
     cfg = CFG._replace(quantizer='naive', dim=3)
     params, codebook = vqvae.init_model(jax.random.PRNGKey(0), cfg)
     assert codebook is None
-    x = jax.random.normal(jax.random.PRNGKey(3), (cfg.n_var, 5, cfg.n_var - 1))
-    out = vqvae.apply_model(params, codebook, x, cfg)
-    assert out.recon.shape == (cfg.n_var, 5, cfg.n_var - 1)
-    codes = vqvae.encode_codes(params, None, x, cfg)
+    y = jax.random.uniform(jax.random.PRNGKey(3), (5, cfg.n_var))
+    out = vqvae.apply_model(params, codebook, y, cfg)
+    assert out.recon.shape == (cfg.n_var, 5, cfg.n_var)
+    codes = vqvae.encode_codes(params, None, y, cfg)
     assert int(jnp.max(codes)) < cfg.effective_codes == 8

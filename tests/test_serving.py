@@ -42,10 +42,8 @@ def test_codes_and_conditionals(tmp_path):
     assert codes.shape == (10, CFG.n_var)
     assert codes.min() >= 0 and codes.max() < CFG.num_codes
 
-    # conditional for variable 3 on its leave-one-out view == dist lookup
-    from pgmvae_tpu.data.loader import leave_one_out
-    x = leave_one_out(y[:10])                    # [n, 10, n-1]
-    prb = model.conditional_probability(x[[3]], [3])
+    # conditional for variable 3 on full-width samples == dist lookup
+    prb = model.conditional_probability(y[:10], [3])
     expect = dist[3, codes[:, 3]]
     np.testing.assert_allclose(prb[0], expect.astype(np.float32), rtol=1e-5)
 

@@ -4,7 +4,8 @@ core/model.py:58-96), chunk invariance."""
 import numpy as np
 import jax
 
-from pgmvae_tpu.data.loader import leave_one_out
+import jax.numpy as jnp
+
 from pgmvae_tpu.models import VqVaeConfig, init_model, encode_codes
 from pgmvae_tpu.stage2 import Stage2, SMOOTHING, LOG_EPS
 
@@ -20,8 +21,8 @@ def _setup(n_samples=57, seed=0):
 
 def _np_counts(params, codebook, y):
     """Oracle: per-sample loop mirroring reference core/model.py:58-82."""
-    x = leave_one_out(y)  # [n, N, n-1]
-    codes = np.asarray(encode_codes(params, codebook, x, CFG))  # [n, N]
+    codes = np.asarray(encode_codes(params, codebook,
+                                    jnp.asarray(y), CFG))  # [n, N]
     n1 = np.zeros((CFG.n_var, CFG.num_codes))
     n0 = np.zeros((CFG.n_var, CFG.num_codes))
     for v in range(CFG.n_var):

@@ -128,13 +128,11 @@ def test_ema_codebook_update_is_pure_ema():
     core/quantizer.py:151-156)."""
     from pgmvae_tpu.models import encode
     from pgmvae_tpu.ops import quantizer as q
-    from pgmvae_tpu.train import leave_one_out_batch
 
     y = _data(16, seed=7)
     tr = Trainer(CFG, 0.01, 16, len(y))
     st = tr.init_state(jax.random.PRNGKey(3))
-    x = leave_one_out_batch(jnp.asarray(y), tr.idx_mat)
-    z = encode(st.params, x)
+    z = encode(st.params, jnp.asarray(y))
     idx = q.vq_codes(z, st.ema.codebook)
     counts, dw = q.code_stats(z, idx, CFG.num_codes)
     expected = q.ema_update(st.ema, counts, dw, CFG.decay, CFG.epsilon,
