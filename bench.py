@@ -26,6 +26,9 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from pgmvae_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from pgmvae_tpu.data import load_split
     from pgmvae_tpu.models import VqVaeConfig
     from pgmvae_tpu.stage2 import Stage2

@@ -53,6 +53,9 @@ def run_experiment(exp: ExperimentConfig) -> dict:
     """Stage-1 train + stage-2 CPT/PLL (+ optional CMLL / checkpoint)."""
     import jax
 
+    from pgmvae_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from pgmvae_tpu import REGISTRY
     from pgmvae_tpu import checkpoint as ckpt
     from pgmvae_tpu.data import load_split

@@ -95,6 +95,10 @@ class Stage2:
         """Dataset code/label co-occurrence counts as float64 [n_var, K]."""
         n = y_host.shape[0]
         steps = math.ceil(n / self.chunk)
+        # bucket the scan length to the next power of two so differently
+        # sized splits (train/valid/test) share one compiled program —
+        # padded rows carry weight 0 and are exact no-ops in the counts
+        steps = 1 << max(steps - 1, 0).bit_length()
         pad = steps * self.chunk - n
         y = np.pad(y_host.astype(np.float32), ((0, pad), (0, 0)))
         w = np.pad(np.ones(n, np.float32), (0, pad))

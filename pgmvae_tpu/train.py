@@ -79,7 +79,11 @@ class Trainer:
         self.n_train = int(n_train)
         self.steps_per_epoch = math.ceil(self.n_train / self.batch_size)
         self.mesh = mesh_ctx or MeshContext(None)
-        self.optimizer = optax.adam(learning_rate, eps=adam_eps)
+        # inject_hyperparams keeps the learning rate a runtime value inside
+        # opt_state instead of a compile-time constant — sweep cells that
+        # differ only in lr (or schedules/resume) share one compiled program
+        self.optimizer = optax.inject_hyperparams(optax.adam)(
+            learning_rate=learning_rate, eps=adam_eps)
         self._run_epoch = jax.jit(self._epoch_impl, donate_argnums=(0,))
         self._shard_rule = shard_leading_axis(cfg.n_var)
 

@@ -1,0 +1,33 @@
+"""Persistent XLA compilation cache.
+
+Compiles in this environment go through a remote-compile tunnel with
+latencies from seconds to minutes, so caching compiled executables across
+processes is a large win for sweeps and repeated CLI runs. Enabled once per
+process by the entry points (run.py / run_pipeline.py / bench.py / driver);
+set PGMVAE_NO_COMPILE_CACHE=1 to disable, PGMVAE_COMPILE_CACHE_DIR to move.
+"""
+
+from __future__ import annotations
+
+import os
+
+_done = False
+
+
+def enable_compilation_cache() -> None:
+    global _done
+    if _done or os.environ.get('PGMVAE_NO_COMPILE_CACHE') == '1':
+        return
+    _done = True
+    import jax
+    cache_dir = os.environ.get(
+        'PGMVAE_COMPILE_CACHE_DIR',
+        os.path.join(os.path.expanduser('~'), '.cache', 'pgmvae_xla'))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        # cache everything, however small/fast to compile
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass
