@@ -32,6 +32,8 @@ class ExperimentConfig:
     mesh_data: int = 1
     mesh_model: int = 1
     zero_debias: bool = True
+    dead_code_threshold: float = 0.0   # >0: EMA dead-code restarts
+    fan_mode: str = 'tf_stacked'    # init fan semantics (see initializers)
     vq_impl: str = 'xla'
     precision: str = 'default'
     cmll: bool = False
@@ -76,7 +78,9 @@ def run_experiment(exp: ExperimentConfig) -> dict:
     cfg = VqVaeConfig(n_var=info.n_var, units=units, dim=exp.dim,
                       num_codes=exp.embedding, cost=exp.cost, decay=exp.decay,
                       quantizer=quantizer, zero_debias=exp.zero_debias,
-                      vq_impl=exp.vq_impl, matmul_precision=exp.precision)
+                      dead_code_threshold=exp.dead_code_threshold,
+                      fan_mode=exp.fan_mode, vq_impl=exp.vq_impl,
+                      matmul_precision=exp.precision)
 
     mesh_ctx = MeshContext(None)
     if exp.mesh_data * exp.mesh_model > 1:

@@ -56,6 +56,7 @@ class VqVaeConfig(NamedTuple):
     quantizer: str = 'ema'       # 'ema' | 'vq' | 'naive'
     zero_debias: bool = True     # TF assign_moving_average default
     epsilon: float = 1e-5        # EMA Laplace smoothing
+    dead_code_threshold: float = 0.0  # >0: restart codes with EMA usage < t
     fan_mode: str = 'tf_stacked'
     dtype: str = 'float32'
     vq_impl: str = 'xla'         # 'xla' | 'pallas' | 'pallas_interpret'

@@ -172,6 +172,48 @@ def ema_update(state: EmaState, batch_counts: jax.Array, batch_dw: jax.Array,
     return EmaState(codebook=codebook, counts=counts, dw=dw, step=step)
 
 
+def restart_dead_codes(state: EmaState, z: jax.Array, key: jax.Array,
+                       threshold: float, decay: float,
+                       zero_debias: bool = True,
+                       weights: Optional[jax.Array] = None) -> EmaState:
+    """Reseed dead codebook entries from random batch latents.
+
+    A capability the reference lacks: its EMA quantizer lets unused codes
+    decay toward zero and the codebook collapses on hard datasets (observed
+    at perplexity 1.0 on bbc/students — the model degenerates to per-variable
+    marginals). Standard VQ-VAE practice: any code whose (unbiased) EMA usage
+    falls below `threshold` is restarted at a randomly drawn encoder latent
+    from the current batch, with its EMA statistics reset to (count=1,
+    dw=latent) so the next update treats it as freshly assigned.
+
+    Deterministic given `key`. For exact data-parallel semantics the caller
+    passes the same key on every shard; the drawn batch indices are global
+    (z must be the full logical batch under GSPMD, which it is inside jit).
+    """
+    n, b, d = z.shape
+    k = state.codebook.shape[2]
+    if zero_debias:
+        step = jnp.maximum(state.step, 1).astype(state.codebook.dtype)
+        bias = 1.0 - decay ** step
+    else:
+        bias = jnp.ones((), state.codebook.dtype)
+    usage = state.counts / bias                                  # [n, K]
+    dead = usage < threshold                                     # [n, K]
+    # one random (valid) batch row per (variable, code)
+    if weights is None:
+        ridx = jax.random.randint(key, (n, k), 0, b)
+    else:
+        logits = jnp.where(weights > 0, 0.0, -jnp.inf)
+        ridx = jax.random.categorical(key, logits, shape=(n, k))
+    candidates = jnp.take_along_axis(z, ridx[:, :, None], axis=1)  # [n,K,D]
+    candidates = jnp.swapaxes(candidates, 1, 2)                    # [n,D,K]
+    dead_dk = dead[:, None, :]
+    codebook = jnp.where(dead_dk, candidates, state.codebook)
+    counts = jnp.where(dead, bias * 1.0, state.counts)
+    dw = jnp.where(dead_dk, bias * candidates, state.dw)
+    return EmaState(codebook=codebook, counts=counts, dw=dw, step=state.step)
+
+
 # --------------------------------------------------------------------------
 # Binary "naive" quantizer (ref core/quantizer.py:179-201): the codebook is
 # implicitly the corners of the D-cube, K = 2**D.

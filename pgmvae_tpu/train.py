@@ -114,11 +114,13 @@ class Trainer:
             return ema.codebook
         return None
 
-    def train_step(self, state: TrainState, y: jax.Array, w: jax.Array):
+    def train_step(self, state: TrainState, y: jax.Array, w: jax.Array,
+                   key=None):
         with jax.default_matmul_precision(self.cfg.matmul_precision):
-            return self._train_step_impl(state, y, w)
+            return self._train_step_impl(state, y, w, key)
 
-    def _train_step_impl(self, state: TrainState, y: jax.Array, w: jax.Array):
+    def _train_step_impl(self, state: TrainState, y: jax.Array, w: jax.Array,
+                         key=None):
         cfg, mesh = self.cfg, self.mesh
         y = mesh.constrain(y, mesh.batch)
         mask = vqvae.loo_mask(cfg.n_var, None, y.dtype)
@@ -154,6 +156,10 @@ class Trainer:
                                       cfg.num_codes, weights=w)
             ema = q.ema_update(ema, counts, dw, cfg.decay,
                                cfg.epsilon, cfg.zero_debias)
+            if cfg.dead_code_threshold > 0 and key is not None:
+                ema = q.restart_dead_codes(
+                    ema, out.z, key, cfg.dead_code_threshold, cfg.decay,
+                    cfg.zero_debias, weights=w)
         else:
             counts, _ = q.code_stats(out.z, out.indices,
                                      cfg.effective_codes, weights=w)
@@ -176,7 +182,9 @@ class Trainer:
         def body(state, idx):
             w = (idx >= 0).astype(data.dtype)
             yb = jnp.take(data, jnp.maximum(idx, 0), axis=0)
-            state, m = self.train_step(state, yb, w)
+            step_key = jax.random.fold_in(key, state.step) \
+                if self.cfg.dead_code_threshold > 0 else None
+            state, m = self.train_step(state, yb, w, key=step_key)
             return state, (m, jnp.sum(w))
 
         state, (ms, wsum) = jax.lax.scan(body, state, perm)

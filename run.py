@@ -67,6 +67,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help='data-parallel mesh axis size')
     p.add_argument('--mesh-model', type=int, default=1,
                    help='variable-axis model-parallel mesh size')
+    p.add_argument('--dead-code-threshold', type=float, default=0.0,
+                   help='>0 enables EMA dead-code restarts: codes whose '
+                        'moving-average usage drops below the threshold are '
+                        'reseeded from random batch latents (anti-collapse; '
+                        'the reference has no equivalent)')
+    p.add_argument('--fan-mode', choices=['tf_stacked', 'per_network'],
+                   default='tf_stacked',
+                   help='init fan semantics: tf_stacked reproduces the '
+                        "reference's Keras stacked-kernel fans; per_network "
+                        'initializes each of the n_var networks like an '
+                        'independent MLP (larger scale, fights codebook '
+                        'collapse at large n_var)')
     p.add_argument('--vq-impl', choices=['xla', 'pallas'], default='xla',
                    help='nearest-codebook search implementation (pallas = '
                         'fused VMEM kernel)')
@@ -128,7 +140,9 @@ def main(argv=None) -> int:
         units=(tuple(int(u) for u in args.units.split(','))
                if args.units else None),
         mesh_data=args.mesh_data, mesh_model=args.mesh_model,
-        zero_debias=not args.no_zero_debias, vq_impl=args.vq_impl,
+        zero_debias=not args.no_zero_debias,
+        dead_code_threshold=args.dead_code_threshold, fan_mode=args.fan_mode,
+        vq_impl=args.vq_impl,
         precision=args.precision, cmll=args.cmll,
         checkpoint=args.checkpoint, resume=args.resume,
         data_dir=args.data_dir, verbose=args.verbose,

@@ -146,6 +146,62 @@ def test_ema_update_matches_oracle(zero_debias):
                                    rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize('zero_debias', [True, False])
+def test_restart_dead_codes(zero_debias):
+    emb = np.asarray(_rand(11, N, D, K))
+    state = q.ema_init(jnp.asarray(emb), zero_debias)
+    z = _rand(12, N, B, D)
+    idx = q.vq_codes(z, state.codebook)
+    counts, dw = q.code_stats(z, idx, K)
+    state = q.ema_update(state, counts, dw, 0.9, zero_debias=zero_debias)
+
+    before = np.asarray(state.codebook)
+    usage = np.asarray(state.counts) / ((1 - 0.9 ** 1) if zero_debias else 1)
+    dead = usage < 0.5  # with B=17 < K=13 some codes must be unused
+    assert dead.any() and not dead.all()
+
+    new = q.restart_dead_codes(state, z, jax.random.PRNGKey(0), 0.5, 0.9,
+                               zero_debias=zero_debias)
+    after = np.asarray(new.codebook)
+    # live codes untouched; dead codes replaced by actual batch latents
+    zn = np.asarray(z)
+    for v in range(N):
+        for k in range(K):
+            if not dead[v, k]:
+                np.testing.assert_array_equal(after[v, :, k], before[v, :, k])
+            else:
+                assert any(np.allclose(after[v, :, k], zn[v, b], atol=1e-6)
+                           for b in range(B)), (v, k)
+    # restarted stats: unbiased count 1, unbiased dw == new latent
+    bias = (1 - 0.9 ** 1) if zero_debias else 1.0
+    np.testing.assert_allclose(np.asarray(new.counts)[dead] / bias, 1.0,
+                               rtol=1e-6)
+    # reproducible
+    again = q.restart_dead_codes(state, z, jax.random.PRNGKey(0), 0.5, 0.9,
+                                 zero_debias=zero_debias)
+    np.testing.assert_array_equal(np.asarray(again.codebook), after)
+
+
+def test_restart_dead_codes_respects_weights():
+    emb = _rand(13, N, D, K)
+    state = q.ema_init(emb, True)
+    z = _rand(14, N, B, D)
+    idx = q.vq_codes(z, state.codebook)
+    w = jnp.asarray(([1.0] * 3) + [0.0] * (B - 3))
+    counts, dw = q.code_stats(z, idx, K, weights=w)
+    state = q.ema_update(state, counts, dw, 0.9)
+    new = q.restart_dead_codes(state, z, jax.random.PRNGKey(1), 0.5, 0.9,
+                               weights=w)
+    # every restarted vector must come from a weighted (valid) row
+    zn, after = np.asarray(z), np.asarray(new.codebook)
+    usage = np.asarray(state.counts) / (1 - 0.9)
+    for v in range(N):
+        for k in range(K):
+            if usage[v, k] < 0.5:
+                assert any(np.allclose(after[v, :, k], zn[v, b], atol=1e-6)
+                           for b in range(3)), (v, k)
+
+
 def test_naive_quantizer():
     z = jnp.asarray(np.array([[[0.1, 0.9, 0.6], [0.49, 0.51, 0.0]]],
                              np.float32))  # [1,2,3]
