@@ -74,6 +74,33 @@ def test_stage2_counts_parity_on_mesh():
     np.testing.assert_array_equal(n0a, n0b)
 
 
+def test_dead_code_restart_mesh_parity():
+    """Dead-code restarts on the first step must be identical on 1 device
+    and a 2x4 mesh: usage values there are exact batch-assignment counts
+    (integers), so the dead/alive decision is unambiguous and the drawn
+    batch indices are key-deterministic. (Over many steps, usage values
+    sitting exactly at the threshold may flip with psum reduction order —
+    restarts are discontinuous, so bitwise multi-step parity is not a
+    guarantee of this design.)"""
+    cfg = CFG._replace(dead_code_threshold=0.5, num_codes=32)  # forces deads
+    y = _data(64, seed=5)
+
+    def run(ctx):
+        tr = Trainer(cfg, 0.01, 64, len(y), mesh_ctx=ctx)
+        st = tr.init_state(jax.random.PRNGKey(0))
+        yb = (jnp.asarray(y) if ctx is None
+              else ctx.put(jnp.asarray(y), P('data', None)))
+        w = (jnp.ones(64) if ctx is None
+             else ctx.put(jnp.ones(64), P('data')))
+        st, m = jax.jit(tr.train_step)(st, yb, w, jax.random.PRNGKey(7))
+        return np.asarray(tr.codebook(st)), float(m.loss)
+
+    cb1, l1 = run(None)
+    cb8, l8 = run(MeshContext(make_mesh(2, 4)))
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    np.testing.assert_allclose(cb1, cb8, rtol=1e-4, atol=1e-5)
+
+
 def test_shard_rule():
     rule = shard_leading_axis(8)
     assert rule(jnp.zeros((8, 3, 4))) == P('model', None, None)

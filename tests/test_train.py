@@ -121,6 +121,24 @@ def test_fixed_seed_is_deterministic():
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
 
 
+def test_dead_code_restarts_fire_during_epoch():
+    """With an impossible usage threshold every code restarts each step, so
+    the trained codebook must differ from the no-restart run and consist of
+    actual encoder latents."""
+    y = _data(32, seed=3)
+    base = Trainer(CFG, 0.01, 16, len(y))
+    st0 = base.init_state(jax.random.PRNGKey(1))
+    st_a, _ = base.run_epoch(st0, jnp.asarray(y), jax.random.PRNGKey(2))
+
+    cfg = CFG._replace(dead_code_threshold=1e9)
+    tr = Trainer(cfg, 0.01, 16, len(y))
+    st0 = tr.init_state(jax.random.PRNGKey(1))
+    st_b, m = tr.run_epoch(st0, jnp.asarray(y), jax.random.PRNGKey(2))
+    assert np.isfinite(float(m.loss))
+    assert not np.allclose(np.asarray(base.codebook(st_a)),
+                           np.asarray(tr.codebook(st_b)))
+
+
 def test_ema_codebook_update_is_pure_ema():
     """In EMA mode the codebook after one train step must be EXACTLY the
     ema_update of the pre-step statistics — Adam must not touch it
