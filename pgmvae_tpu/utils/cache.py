@@ -20,6 +20,10 @@ def enable_compilation_cache() -> None:
         return
     _done = True
     import jax
+    if jax.default_backend() == 'cpu':
+        # CPU compiles are fast anyway, and XLA:CPU AOT cache entries carry
+        # pedantic machine-feature checks that flood warnings on reload
+        return
     cache_dir = os.environ.get(
         'PGMVAE_COMPILE_CACHE_DIR',
         os.path.join(os.path.expanduser('~'), '.cache', 'pgmvae_xla'))

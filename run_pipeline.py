@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--precision', choices=['default', 'float32', 'highest'],
                    default='default')
     p.add_argument('--data-dir', type=str, default=None)
+    p.add_argument('--device', '-u', type=int, default=0,
+                   help='-1 = CPU; otherwise the default accelerator '
+                        '(same semantics as run.py)')
     return p
 
 
@@ -76,6 +79,9 @@ def load_joblog(path: str) -> dict:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.device == -1:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
     from pgmvae_tpu.driver import ExperimentConfig, run_experiment
     from pgmvae_tpu.utils import append_result
 

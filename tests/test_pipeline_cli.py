@@ -1,0 +1,41 @@
+"""Sweep-runner CLI contract tests (subprocess, CPU, tiny grids)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=600):
+    # --device -1 pins the CPU backend (the env var alone is overridden by
+    # the TPU plugin in this image; see run_pipeline.py / run.py)
+    return subprocess.run([sys.executable, 'run_pipeline.py', '--device',
+                           '-1'] + args, cwd=REPO, capture_output=True,
+                          text=True, timeout=timeout)
+
+
+def test_sweep_joblog_resume_and_retry(tmp_path):
+    joblog = str(tmp_path / 'joblog.jsonl')
+    res = str(tmp_path / 'result.txt')
+    base = ['-n', 'nltcs,kdd', '-k', '8', '-d', '4', '-b', '512', '-e', '1',
+            '-r', '0.01', '-m', '--joblog', joblog, '--result-file', res]
+    # kdd's train split is stripped from this mount -> that cell fails
+    out1 = _run(base)
+    assert out1.returncode == 1, out1.stderr[-800:]
+    recs = {json.loads(l)['identifier']: json.loads(l)
+            for l in open(joblog)}
+    assert len(recs) == 2
+    oks = sorted(r['ok'] for r in recs.values())
+    assert oks == [False, True]
+    assert sum(1 for l in open(res)) == 1  # only the successful cell appended
+
+    # rerun without --retry-failed: nothing re-runs, same joblog size
+    out2 = _run(base)
+    assert out2.returncode == 1
+    assert sum(1 for _ in open(joblog)) == 2
+    # with --retry-failed: the failed cell is retried (and fails again)
+    out3 = _run(base + ['--retry-failed'])
+    assert out3.returncode == 1
+    assert sum(1 for _ in open(joblog)) == 3
