@@ -64,7 +64,8 @@ def load(path: str, state_template=None
     restored into that exact structure; otherwise the raw nested-dict state
     is returned (enough for inference-only uses)."""
     with open(path, 'rb') as f:
-        assert f.read(len(_MAGIC)) == _MAGIC, f'not a pgmvae checkpoint: {path}'
+        if f.read(len(_MAGIC)) != _MAGIC:
+            raise ValueError(f'not a pgmvae checkpoint: {path}')
         hlen = int.from_bytes(f.read(8), 'little')
         header = json.loads(f.read(hlen).decode())
         blob = f.read()

@@ -48,7 +48,12 @@ class ExperimentConfig:
         from pgmvae_tpu.utils.logging import run_identifier
         return run_identifier(self.name, self.embedding, self.dim, self.batch,
                               self.epoch, self.rate, self.cost, self.ema,
-                              self.decay, self.seed, self.note)
+                              self.decay, self.seed, self.note,
+                              quantizer=self.quantizer, units=self.units,
+                              fan_mode=self.fan_mode,
+                              dead_code_threshold=self.dead_code_threshold,
+                              zero_debias=self.zero_debias,
+                              precision=self.precision)
 
 
 def run_experiment(exp: ExperimentConfig) -> dict:
@@ -94,7 +99,19 @@ def run_experiment(exp: ExperimentConfig) -> dict:
     key = jax.random.PRNGKey(exp.seed)
     state = trainer.init_state(key)
     if exp.resume:
-        _, state, _, _ = ckpt.load(exp.resume, state_template=state)
+        saved_cfg, state, _, _ = ckpt.load(exp.resume, state_template=state)
+        # flax from_state_dict does not validate shapes, and semantic fields
+        # (decay, cost, zero_debias, quantizer ...) would silently change
+        # training dynamics — refuse any mismatch up front.
+        mismatches = [
+            f'{f}: checkpoint={getattr(saved_cfg, f)!r} cli={getattr(cfg, f)!r}'
+            for f in VqVaeConfig._fields
+            if f not in ('vq_impl', 'matmul_precision')  # execution-only knobs
+            and getattr(saved_cfg, f) != getattr(cfg, f)]
+        if mismatches:
+            raise ValueError(
+                f'--resume {exp.resume}: checkpoint config does not match the '
+                f'requested run: ' + '; '.join(mismatches))
         state = trainer.shard_state(state)
 
     t0 = time.time()

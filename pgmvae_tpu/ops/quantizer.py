@@ -139,7 +139,9 @@ class EmaState(NamedTuple):
 
 
 def ema_init(codebook: jax.Array, zero_debias: bool = True) -> EmaState:
-    dw0 = jnp.zeros_like(codebook) if zero_debias else codebook
+    # jnp.copy: dw must be a DISTINCT buffer — aliasing the codebook array
+    # breaks buffer donation in the epoch runner (same buffer donated twice)
+    dw0 = jnp.zeros_like(codebook) if zero_debias else jnp.copy(codebook)
     return EmaState(codebook=codebook,
                     counts=jnp.zeros(
                         (codebook.shape[0], codebook.shape[2]), codebook.dtype),

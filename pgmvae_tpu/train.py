@@ -43,6 +43,12 @@ from pgmvae_tpu.ops import quantizer as q
 from pgmvae_tpu.parallel.mesh import MeshContext, shard_leading_axis
 
 
+# Largest code space for which the per-step usage histogram (a [n_var, K]
+# scatter-add) is computed; beyond this (naive quantizer, dim > 16) the
+# perplexity metric is reported as 0 instead of allocating huge buffers.
+PERPLEXITY_MAX_CODES = 1 << 16
+
+
 class TrainState(NamedTuple):
     params: dict                  # {'enc','dec'[, 'codebook' if 'vq']}
     ema: Optional[q.EmaState]     # EMA quantizer state ('ema' mode only)
@@ -160,14 +166,24 @@ class Trainer:
                 ema = q.restart_dead_codes(
                     ema, out.z, key, cfg.dead_code_threshold, cfg.decay,
                     cfg.zero_debias, weights=w)
+        elif cfg.effective_codes <= PERPLEXITY_MAX_CODES:
+            # histogram via scatter-add — no [n, B, K] one-hot materialized
+            counts = jnp.zeros((cfg.n_var, cfg.effective_codes), y.dtype)
+            counts = counts.at[
+                jnp.arange(cfg.n_var)[:, None], out.indices].add(w[None, :])
         else:
-            counts, _ = q.code_stats(out.z, out.indices,
-                                     cfg.effective_codes, weights=w)
+            # naive quantizer with 2**dim codes: a usage histogram would be
+            # a [n_var, 2^dim] tensor — skip the metric rather than OOM
+            counts = None
 
         mae = _masked_recon_mean(jnp.abs(out.recon - y[None]), w, mask)
-        p = counts / jnp.maximum(jnp.sum(counts, axis=1, keepdims=True), 1.0)
-        perplexity = jnp.mean(jnp.exp(-jnp.sum(
-            p * jnp.log(jnp.maximum(p, 1e-12)), axis=1)))
+        if counts is None:
+            perplexity = jnp.zeros((), y.dtype)
+        else:
+            p = counts / jnp.maximum(
+                jnp.sum(counts, axis=1, keepdims=True), 1.0)
+            perplexity = jnp.mean(jnp.exp(-jnp.sum(
+                p * jnp.log(jnp.maximum(p, 1e-12)), axis=1)))
         metrics = EpochMetrics(loss, mse, mae, perplexity)
         return TrainState(params, ema, opt_state, state.step + 1), metrics
 
@@ -209,6 +225,7 @@ class Trainer:
         for epoch in range(epochs):
             state, m = self.run_epoch(state, data, jax.random.fold_in(key, epoch))
             if verbose or log_fn is not None:
+                # host callbacks force a device sync per epoch
                 m_host = jax.tree.map(float, jax.device_get(m))
                 history.append(m_host)
                 if verbose:
@@ -217,6 +234,13 @@ class Trainer:
                           f'mae={m_host.mae:.6f} ppl={m_host.perplexity:.1f}')
                 if log_fn is not None:
                     log_fn(epoch, m_host)
+            else:
+                # keep the dispatch pipeline async: collect device scalars,
+                # fetch them all at the end in one transfer
+                history.append(m)
+        if history and isinstance(history[0].loss, jax.Array):
+            history = [EpochMetrics(*(float(v) for v in jax.device_get(m)))
+                       for m in history]
         return state, history
 
     def codebook(self, state: TrainState):

@@ -19,11 +19,33 @@ import time
 
 
 def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
-                   note='') -> str:
+                   note='', *, quantizer=None, units=None,
+                   fan_mode='tf_stacked', dead_code_threshold=0.0,
+                   zero_debias=True, precision='default') -> str:
     """Hyperparameter-encoding run id, field-for-field the reference's
-    format (reference run.py:38)."""
-    return (f"{name}_K-{k}_D-{d}_bs-{bs}_epk-{epochs}_lr-{lr}_bta-{beta}"
+    format (reference run.py:38).
+
+    Extension hyperparameters beyond the reference's surface are appended
+    as extra `_key-value` fields ONLY when they differ from their defaults,
+    so (a) reference-compatible runs keep the exact reference identifier and
+    (b) two sweep cells that differ in any semantic knob can never collide
+    in a joblog or result file."""
+    base = (f"{name}_K-{k}_D-{d}_bs-{bs}_epk-{epochs}_lr-{lr}_bta-{beta}"
             f"_ema-{ema}_gma-{gamma}_sd-{seed}-{note}")
+    ext = []
+    if quantizer and quantizer != ('ema' if ema else 'vq'):
+        ext.append(f'qz-{quantizer}')
+    if units:
+        ext.append('un-' + 'x'.join(str(u) for u in units))
+    if fan_mode != 'tf_stacked':
+        ext.append(f'fm-{fan_mode}')
+    if dead_code_threshold:
+        ext.append(f'dcr-{dead_code_threshold}')
+    if not zero_debias:
+        ext.append('nzd')
+    if precision != 'default':
+        ext.append(f'prc-{precision}')
+    return base + ('_' + '_'.join(ext) if ext else '')
 
 
 class MetricLogger:

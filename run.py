@@ -116,10 +116,14 @@ def main(argv=None) -> int:
         jax.config.update('jax_platforms', 'cpu')
     elif args.device > 0:
         # pin a specific accelerator, mirroring the reference's
-        # set_visible_devices(gpus[device]) (ref run.py:30-31)
+        # set_visible_devices(gpus[device]) (ref run.py:30-31) — including
+        # its loud failure on a bad device index
         devs = jax.devices()
-        if args.device < len(devs):
-            jax.config.update('jax_default_device', devs[args.device])
+        if args.device >= len(devs):
+            print(f'error: --device {args.device} out of range '
+                  f'({len(devs)} devices available)', file=sys.stderr)
+            return 2
+        jax.config.update('jax_default_device', devs[args.device])
     import numpy as np
     np.random.seed(args.seed)
 

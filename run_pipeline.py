@@ -14,7 +14,13 @@ without GNU parallel.
 Grid flags accept comma-separated values, e.g.:
   python run_pipeline.py -n kdd -k 1024,4096 -d 10 -b 32 -e 200 \
       -r 2e-4 -c 0.35,0.4,0.45,0.5 -m -s 5 --joblog logs/kdd-sweep.jsonl
-mirrors the reference's active grid (batch-job.sh:43-52).
+mirrors the reference's active grid (batch-job.sh:43-52). The extended
+hyper surface is grid-able too — every tuned RESULTS.md recipe is one
+command, e.g.:
+  python run_pipeline.py -n bbc -k 50 -d 20 -b 12 -e 300 -r 1e-3 -c 0.05 \
+      -g 0.9 -m -s 1,2,3 --dead-code-threshold 0.02 --fan-mode per_network
+Extended knobs are encoded into the run identifier (only when non-default),
+so joblog dedup can never collide two semantically distinct cells.
 """
 
 from __future__ import annotations
@@ -32,6 +38,13 @@ def _csv(cast):
     return lambda s: [cast(v) for v in s.split(',')]
 
 
+def _units(s):
+    """'400x200x100x50' -> (400, 200, 100, 50); 'auto'/'' -> None."""
+    if s in ('', 'auto', 'default'):
+        return None
+    return tuple(int(u) for u in s.split('x'))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -46,6 +59,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--decay', '-g', type=_csv(float), default=[0.99])
     p.add_argument('--seed', '-s', type=_csv(int), default=[0])
     p.add_argument('--note', '-t', type=str, default='')
+    # full hyper-surface grid flags (every tuned RESULTS.md recipe is
+    # expressible from one run_pipeline.py command)
+    p.add_argument('--quantizer', type=_csv(str), default=[None],
+                   help="grid over quantizers: ema,vq,naive (default: from "
+                        "--ema)")
+    p.add_argument('--units', type=_csv(_units), default=[None],
+                   help="grid over encoder widths: 'x'-separated widths, "
+                        "comma-separated cells, e.g. 400x200x100x50,300x150 "
+                        "('auto' = registry/heuristic default)")
+    p.add_argument('--fan-mode', type=_csv(str), default=['tf_stacked'],
+                   help='grid over init fan semantics: tf_stacked,per_network')
+    p.add_argument('--dead-code-threshold', type=_csv(float), default=[0.0],
+                   help='grid over EMA dead-code restart thresholds '
+                        '(0 = off)')
+    p.add_argument('--no-zero-debias', action='store_true',
+                   help='plain moving average instead of TF zero-debiased')
     p.add_argument('--verbose', '-v', action='store_true')
     p.add_argument('--joblog', type=str, default='logs/sweep-joblog.jsonl')
     p.add_argument('--retry-failed', action='store_true',
@@ -89,12 +118,16 @@ def main(argv=None) -> int:
         ExperimentConfig(name=name, embedding=k, dim=d, batch=b,
                          epoch=args.epoch, rate=r, cost=c, ema=args.ema,
                          decay=g, seed=s, note=args.note,
+                         quantizer=qz, units=un, fan_mode=fm,
+                         dead_code_threshold=dcr,
+                         zero_debias=not args.no_zero_debias,
                          mesh_data=args.mesh_data, mesh_model=args.mesh_model,
                          vq_impl=args.vq_impl, precision=args.precision,
                          data_dir=args.data_dir, verbose=args.verbose)
-        for name, k, d, b, r, c, g, s in itertools.product(
+        for name, k, d, b, r, c, g, s, qz, un, fm, dcr in itertools.product(
             args.name, args.embedding, args.dim, args.batch, args.rate,
-            args.cost, args.decay, args.seed)
+            args.cost, args.decay, args.seed, args.quantizer, args.units,
+            args.fan_mode, args.dead_code_threshold)
     ]
 
     os.makedirs(os.path.dirname(os.path.abspath(args.joblog)), exist_ok=True)

@@ -30,3 +30,17 @@ def test_run_experiment_end_to_end(tmp_path):
 def test_unknown_dataset_raises():
     with pytest.raises(KeyError, match='unknown dataset'):
         run_experiment(ExperimentConfig(name='nope', embedding=4, dim=2))
+
+
+def test_resume_rejects_mismatched_config(tmp_path):
+    path = str(tmp_path / 'm.ckpt')
+    base = dict(name='nltcs', embedding=8, dim=4, batch=512, epoch=1,
+                rate=0.01, ema=True, seed=0, units=(8, 6))
+    run_experiment(ExperimentConfig(**base, checkpoint=path))
+    # semantic field changed (decay) -> loud error, not silent divergence
+    with pytest.raises(ValueError, match='decay'):
+        run_experiment(ExperimentConfig(**{**base, 'decay': 0.5}, resume=path))
+    # execution-only knob changed (precision) -> fine
+    res = run_experiment(ExperimentConfig(**base, precision='highest',
+                                          resume=path))
+    assert res['pll_test'] < 0

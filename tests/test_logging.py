@@ -36,3 +36,22 @@ def test_append_result_contract(tmp_path):
     assert txt[0] == line == \
         'id1 pll-train:-5.1 pll-valid:-5.2 pll-test:-5.3 cmll-test:1'
     assert txt[1].endswith('cmll-test:-4.5')
+
+
+def test_run_identifier_extension_fields():
+    """Non-reference hyperparameters must de-alias the identifier, and only
+    when they differ from defaults (reference-compatible ids unchanged)."""
+    base = run_identifier('nltcs', 50, 10, 128, 100, 0.01, 0.25, True, 0.99, 1)
+    same = run_identifier('nltcs', 50, 10, 128, 100, 0.01, 0.25, True, 0.99, 1,
+                          quantizer='ema', fan_mode='tf_stacked',
+                          dead_code_threshold=0.0, zero_debias=True,
+                          precision='default')
+    assert base == same  # defaults add nothing
+    ext = run_identifier('nltcs', 50, 10, 128, 100, 0.01, 0.25, True, 0.99, 1,
+                         quantizer='naive', units=(15, 14),
+                         fan_mode='per_network', dead_code_threshold=0.02,
+                         zero_debias=False, precision='highest')
+    assert ext.startswith(base)
+    for tag in ('qz-naive', 'un-15x14', 'fm-per_network', 'dcr-0.02', 'nzd',
+                'prc-highest'):
+        assert tag in ext, tag

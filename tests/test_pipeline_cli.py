@@ -39,3 +39,38 @@ def test_sweep_joblog_resume_and_retry(tmp_path):
     out3 = _run(base + ['--retry-failed'])
     assert out3.returncode == 1
     assert sum(1 for _ in open(joblog)) == 3
+
+
+def test_sweep_full_hyper_surface(tmp_path):
+    """The grid flags added for the tuned recipes (--units / --fan-mode /
+    --dead-code-threshold / --quantizer / --no-zero-debias) must expand the
+    grid and produce non-colliding identifiers in the joblog."""
+    joblog = str(tmp_path / 'joblog.jsonl')
+    res = str(tmp_path / 'result.txt')
+    out = _run(['-n', 'nltcs', '-k', '8', '-d', '4', '-b', '512', '-e', '1',
+                '-r', '0.01', '-m', '--units', '8x6,auto',
+                '--fan-mode', 'tf_stacked,per_network',
+                '--dead-code-threshold', '0.0,0.02', '--no-zero-debias',
+                '--joblog', joblog, '--result-file', res])
+    assert out.returncode == 0, out.stderr[-800:]
+    recs = [json.loads(l) for l in open(joblog)]
+    ids = {r['identifier'] for r in recs}
+    assert len(recs) == 8 and len(ids) == 8      # 2 units x 2 fan x 2 dcr
+    assert all(r['ok'] for r in recs)
+    assert any('_un-8x6' in i for i in ids)
+    assert any('fm-per_network' in i for i in ids)
+    assert any('dcr-0.02' in i for i in ids)
+    assert all('nzd' in i for i in ids)
+
+
+def test_sweep_quantizer_grid(tmp_path):
+    joblog = str(tmp_path / 'joblog.jsonl')
+    out = _run(['-n', 'nltcs', '-k', '8', '-d', '4', '-b', '512', '-e', '1',
+                '-r', '0.01', '--quantizer', 'ema,vq,naive',
+                '--joblog', joblog,
+                '--result-file', str(tmp_path / 'result.txt')])
+    assert out.returncode == 0, out.stderr[-800:]
+    ids = [json.loads(l)['identifier'] for l in open(joblog)]
+    assert len(ids) == 3 and len(set(ids)) == 3
+    # --ema not passed -> default quantizer is 'vq'; the others are marked
+    assert sum('qz-' in i for i in ids) == 2

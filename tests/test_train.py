@@ -160,3 +160,38 @@ def test_ema_codebook_update_is_pure_ema():
     np.testing.assert_allclose(np.asarray(st2.ema.codebook),
                                np.asarray(expected.codebook),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fit_always_returns_history():
+    """fit must return per-epoch metrics even without verbose/log_fn
+    (collected async, fetched once at the end)."""
+    y = _data(32, seed=5)
+    tr = Trainer(CFG, 0.01, 16, len(y))
+    st = tr.init_state(jax.random.PRNGKey(0))
+    st, hist = tr.fit(st, y, epochs=3, key=jax.random.PRNGKey(1))
+    assert len(hist) == 3
+    assert all(isinstance(h.loss, float) and np.isfinite(h.loss)
+               for h in hist)
+
+
+def test_naive_large_dim_skips_perplexity():
+    """quantizer='naive' with dim=20 means 2^20 codes; the train step must
+    not allocate a [n_var, B, 2^dim] histogram (it reports perplexity=0)."""
+    cfg = CFG._replace(quantizer='naive', dim=20)
+    y = _data(16, seed=6)
+    tr = Trainer(cfg, 0.01, 16, len(y))
+    st = tr.init_state(jax.random.PRNGKey(0))
+    st, m = tr.run_epoch(st, jnp.asarray(y), jax.random.PRNGKey(1))
+    assert np.isfinite(float(m.loss))
+    assert float(m.perplexity) == 0.0
+
+
+def test_naive_small_dim_perplexity_histogram():
+    """Small naive code spaces still report usage perplexity (scatter-add
+    histogram path)."""
+    cfg = CFG._replace(quantizer='naive', dim=3)
+    y = _data(16, seed=6)
+    tr = Trainer(cfg, 0.01, 16, len(y))
+    st = tr.init_state(jax.random.PRNGKey(0))
+    st, m = tr.run_epoch(st, jnp.asarray(y), jax.random.PRNGKey(1))
+    assert 1.0 <= float(m.perplexity) <= 2 ** 3
