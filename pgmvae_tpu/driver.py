@@ -34,6 +34,8 @@ class ExperimentConfig:
     zero_debias: bool = True
     dead_code_threshold: float = 0.0   # >0: EMA dead-code restarts
     fan_mode: str = 'tf_stacked'    # init fan semantics (see initializers)
+    activation: str = 'selu'
+    l2_reg: float = 0.0
     vq_impl: str = 'xla'
     precision: str = 'default'
     cmll: bool = False
@@ -53,7 +55,8 @@ class ExperimentConfig:
                               fan_mode=self.fan_mode,
                               dead_code_threshold=self.dead_code_threshold,
                               zero_debias=self.zero_debias,
-                              precision=self.precision)
+                              precision=self.precision,
+                              activation=self.activation, l2_reg=self.l2_reg)
 
 
 def run_experiment(exp: ExperimentConfig) -> dict:
@@ -85,7 +88,8 @@ def run_experiment(exp: ExperimentConfig) -> dict:
                       quantizer=quantizer, zero_debias=exp.zero_debias,
                       dead_code_threshold=exp.dead_code_threshold,
                       fan_mode=exp.fan_mode, vq_impl=exp.vq_impl,
-                      matmul_precision=exp.precision)
+                      matmul_precision=exp.precision,
+                      activation=exp.activation, l2_reg=exp.l2_reg)
 
     mesh_ctx = MeshContext(None)
     if exp.mesh_data * exp.mesh_model > 1:
@@ -138,7 +142,7 @@ def run_experiment(exp: ExperimentConfig) -> dict:
         cmll_test = conditional_marginal_log_likelihood(
             state.params, codebook, cfg, dist, y_test,
             p1=max(info.n_var // 10, 1), num_smp=3000, burn_in=150,
-            key=jax.random.PRNGKey(exp.seed))
+            key=jax.random.PRNGKey(exp.seed), verbose=exp.verbose)
 
     if exp.checkpoint:
         ckpt.save(exp.checkpoint, cfg, state, dist,

@@ -58,18 +58,30 @@ def get_probability(params, codebook, cfg, dist, y, fts):
     return jnp.take_along_axis(prb, codes, axis=1)
 
 
-@partial(jax.jit, static_argnames=('cfg', 'p1', 'num_smp', 'burn_in'))
+@partial(jax.jit,
+         static_argnames=('cfg', 'p1', 'num_smp', 'burn_in', 'verbose'))
 def _cmll_impl(params, codebook, cfg: vqvae.VqVaeConfig, dist, x,
-               p1: int, num_smp: int, burn_in: int, key):
+               p1: int, num_smp: int, burn_in: int, key,
+               verbose: bool = False):
     batch, n = x.shape
     blocks = math.ceil(n / p1)
     vol = np.concatenate([np.full(blocks - 1, p1), [n - p1 * (blocks - 1)]])
     marker = np.arange(blocks) * p1
     vol_j, marker_j = jnp.asarray(vol), jnp.asarray(marker)
     bid = jnp.arange(blocks)
+    total = num_smp * p1
+    report_every = max(total // 20, 1)
 
     def step(i, carry):
         state, cnt = carry                       # [blocks,B,n], [B,n]
+        if verbose:
+            # sampling progress, mirroring the reference's tf.print under
+            # `verbose` (reference core/model.py:141-142)
+            jax.lax.cond(
+                jnp.mod(i, report_every) == 0,
+                lambda: jax.debug.print(
+                    'cmll sampling step {i}/{t}', i=i, t=total),
+                lambda: None)
         y = marker_j + jnp.mod(i, vol_j)         # variable per block
         # padded design: the chain state goes in whole; each block's network
         # masks its own variable internally — no per-block gather
@@ -101,11 +113,13 @@ def _cmll_impl(params, codebook, cfg: vqvae.VqVaeConfig, dist, x,
 def conditional_marginal_log_likelihood(params, codebook,
                                         cfg: vqvae.VqVaeConfig,
                                         dist, x, p1: int, num_smp: int,
-                                        burn_in: int, key=None) -> float:
-    """CMLL of a test batch x [B, n_var]; `dist` is the train-split CPT."""
+                                        burn_in: int, key=None,
+                                        verbose: bool = False) -> float:
+    """CMLL of a test batch x [B, n_var]; `dist` is the train-split CPT.
+    `verbose` prints sampling progress (reference core/model.py:141-142)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     dist32 = jnp.asarray(np.asarray(dist, np.float32))
     return float(_cmll_impl(params, codebook, cfg, dist32,
                             jnp.asarray(x), int(p1), int(num_smp),
-                            int(burn_in), key))
+                            int(burn_in), key, verbose=bool(verbose)))

@@ -61,11 +61,49 @@ class VqVaeConfig(NamedTuple):
     dtype: str = 'float32'
     vq_impl: str = 'xla'         # 'xla' | 'pallas' | 'pallas_interpret'
     matmul_precision: str = 'default'  # jax.default_matmul_precision name
+    activation: str = 'selu'     # hidden activation (ref hardcodes selu,
+    #                              core/model.py:19-35; Keras FatDense lets
+    #                              callers pick any, core/dense.py:46)
+    l2_reg: float = 0.0          # L2 penalty on dense kernels (the hook for
+    #                              FatDense's kernel_regularizer,
+    #                              core/dense.py:50,63-64; ref drivers never
+    #                              set one, so default off)
 
     @property
     def effective_codes(self) -> int:
         """Number of discrete codes stage 2 counts over."""
         return 2 ** self.dim if self.quantizer == 'naive' else self.num_codes
+
+
+# Hidden-activation registry (the reference's FatDense accepts any Keras
+# activation string, core/dense.py:46; these cover the practical surface).
+ACTIVATIONS = {
+    'selu': jax.nn.selu,
+    'relu': jax.nn.relu,
+    'gelu': jax.nn.gelu,
+    'elu': jax.nn.elu,
+    'tanh': jnp.tanh,
+    'sigmoid': jax.nn.sigmoid,
+    'linear': lambda x: x,
+}
+
+
+def activation_fn(name: str):
+    try:
+        return ACTIVATIONS[name]
+    except KeyError:
+        raise ValueError(f'unknown activation {name!r}; '
+                         f'choose from {sorted(ACTIVATIONS)}') from None
+
+
+def l2_penalty(params) -> jax.Array:
+    """Sum of squared dense-kernel entries (biases and codebook excluded) —
+    the regularizer hook of FatDense (ref core/dense.py:50). The inert
+    diagonal rows of the first/last stacked kernels are included; they only
+    decay toward their (already gradient-free) init, which is harmless."""
+    return sum(jnp.sum(w * w)
+               for stack in (params['enc'], params['dec'])
+               for w, _ in stack)
 
 
 class ForwardOut(NamedTuple):
@@ -145,24 +183,26 @@ def _dense_stack(layers, x, activation):
 
 
 def encode(params, y: jax.Array,
-           var_ids: Optional[jax.Array] = None) -> jax.Array:
-    """Samples y [B, n_var] -> latents z [F, B, D] (all-selu encoder,
-    ref core/model.py:42-46). Network f sees y with its own variable's input
-    masked to zero (padded leave-one-out; see module doc). `var_ids` selects
-    a subset of networks (the reference's `fts`); params must already be
-    gathered to match (see gather_variables)."""
+           var_ids: Optional[jax.Array] = None,
+           activation: str = 'selu') -> jax.Array:
+    """Samples y [B, n_var] -> latents z [F, B, D] (selu encoder by default,
+    ref core/model.py:42-46; any ACTIVATIONS entry via cfg.activation).
+    Network f sees y with its own variable's input masked to zero (padded
+    leave-one-out; see module doc). `var_ids` selects a subset of networks
+    (the reference's `fts`); params must already be gathered to match (see
+    gather_variables)."""
     w0 = params['enc'][0][0]
     n_var = w0.shape[1]
     mask = loo_mask(n_var, var_ids, y.dtype)
     # y may be [B, n] (shared across networks) or [F, B, n] (one state per
     # selected network — the Gibbs chain case)
     x = (y[None, :, :] if y.ndim == 2 else y) * mask
-    return _dense_stack(params['enc'], x, jax.nn.selu)
+    return _dense_stack(params['enc'], x, activation_fn(activation))
 
 
-def _decode(params, x: jax.Array) -> jax.Array:
+def _decode(params, x: jax.Array, activation: str = 'selu') -> jax.Array:
     hidden, last = params['dec'][:-1], params['dec'][-1]
-    x = _dense_stack(hidden, x, jax.nn.selu)
+    x = _dense_stack(hidden, x, activation_fn(activation))
     w, b = last
     return jax.nn.sigmoid(jnp.einsum('nbi,nio->nbo', x, w,
                                      preferred_element_type=x.dtype) + b)
@@ -178,7 +218,7 @@ def apply_model(params, codebook, y: jax.Array, cfg: VqVaeConfig,
     `weights` are optional per-sample weights on the batch axis (0/1 mask for
     ragged final batches) applied to every mean-reduction.
     """
-    z = encode(params, y, var_ids)
+    z = encode(params, y, var_ids, cfg.activation)
     if cfg.quantizer == 'naive':
         out = q.naive_forward(z, weights)
         latent, indices = out.output, q.naive_codes(z)
@@ -186,7 +226,7 @@ def apply_model(params, codebook, y: jax.Array, cfg: VqVaeConfig,
     else:
         vq = q.vq_forward(z, codebook, weights, impl=cfg.vq_impl)
         latent, indices, e_loss, q_loss = vq
-    recon = _decode(params, latent)
+    recon = _decode(params, latent, cfg.activation)
     return ForwardOut(recon, z, indices, e_loss, q_loss)
 
 
@@ -194,7 +234,7 @@ def encode_codes(params, codebook, y: jax.Array, cfg: VqVaeConfig,
                  var_ids: Optional[jax.Array] = None) -> jax.Array:
     """Encoder + quantizer only -> code indices [F, B] (the reference's
     `code_only=True` path, ref core/model.py:48, quantizer.py:54-56)."""
-    z = encode(params, y, var_ids)
+    z = encode(params, y, var_ids, cfg.activation)
     if cfg.quantizer == 'naive':
         return q.naive_codes(z)
     return q.vq_codes(z, codebook, impl=cfg.vq_impl)

@@ -79,18 +79,27 @@ class Trainer:
     def __init__(self, cfg: vqvae.VqVaeConfig, learning_rate: float,
                  batch_size: int, n_train: int,
                  mesh_ctx: Optional[MeshContext] = None,
-                 adam_eps: float = 1e-7):
+                 adam_eps: float = 1e-7,
+                 stream_bytes: int = 4 << 30,
+                 stream_chunk_bytes: int = 64 << 20):
         self.cfg = cfg
         self.batch_size = int(batch_size)
         self.n_train = int(n_train)
         self.steps_per_epoch = math.ceil(self.n_train / self.batch_size)
         self.mesh = mesh_ctx or MeshContext(None)
+        # datasets larger than `stream_bytes` are not placed device-resident;
+        # fit() switches to the host-chunked streaming epoch engine, feeding
+        # ~stream_chunk_bytes of permuted samples per transfer (the answer to
+        # the reference's "dataset > 4G" TODO, reference run.py:53)
+        self.stream_bytes = int(stream_bytes)
+        self.stream_chunk_bytes = int(stream_chunk_bytes)
         # inject_hyperparams keeps the learning rate a runtime value inside
         # opt_state instead of a compile-time constant — sweep cells that
         # differ only in lr (or schedules/resume) share one compiled program
         self.optimizer = optax.inject_hyperparams(optax.adam)(
             learning_rate=learning_rate, eps=adam_eps)
         self._run_epoch = jax.jit(self._epoch_impl, donate_argnums=(0,))
+        self._run_chunk = jax.jit(self._chunk_impl, donate_argnums=(0,))
         self._shard_rule = shard_leading_axis(cfg.n_var)
 
     # ------------------------------------------------------------- state --
@@ -147,6 +156,8 @@ class Trainer:
             else:  # 'ema' and 'naive': commitment term only
                 aux = cfg.cost * out.e_loss
             total = mse + aux
+            if cfg.l2_reg > 0:  # FatDense kernel_regularizer hook
+                total = total + cfg.l2_reg * vqvae.l2_penalty(params)
             return total, (out, mse)
 
         (loss, (out, mse)), grads = jax.value_and_grad(
@@ -212,13 +223,73 @@ class Trainer:
     def run_epoch(self, state: TrainState, data: jax.Array, key: jax.Array):
         return self._run_epoch(state, data, key)
 
+    # --------------------------------------------------- streaming epochs --
+    def _chunk_impl(self, state: TrainState, yb: jax.Array, w: jax.Array,
+                    key: jax.Array):
+        """Scan over a host-fed chunk of batches: yb [G, bs, n_var],
+        w [G, bs]. Same per-step math as `_epoch_impl`'s body, so streaming
+        epochs are bit-identical to in-core epochs."""
+        def body(state, inp):
+            y_i, w_i = inp
+            step_key = jax.random.fold_in(key, state.step) \
+                if self.cfg.dead_code_threshold > 0 else None
+            state, m = self.train_step(state, y_i, w_i, key=step_key)
+            return state, (m, jnp.sum(w_i))
+
+        return jax.lax.scan(body, state, (yb, w))
+
+    def _fit_streaming(self, state: TrainState, data_host: np.ndarray,
+                       epochs: int, key: jax.Array, verbose: bool, log_fn):
+        """Host-chunked epochs for datasets too large to keep device-resident
+        (the out-of-core path; see `stream_bytes`). The permutation, padding
+        and per-step weights replicate `_epoch_impl` exactly; the only
+        difference is WHERE batches are gathered (host RAM vs HBM)."""
+        n, bs, steps = self.n_train, self.batch_size, self.steps_per_epoch
+        dtype = jnp.dtype(self.cfg.dtype)
+        row_bytes = bs * self.cfg.n_var * dtype.itemsize
+        chunk = max(1, min(steps, self.stream_chunk_bytes // max(row_bytes, 1)))
+        data = np.asarray(data_host, dtype)
+        history = []
+        for epoch in range(epochs):
+            ekey = jax.random.fold_in(key, epoch)
+            perm = np.asarray(jax.random.permutation(ekey, n))
+            pad = steps * bs - n
+            perm = np.concatenate(
+                [perm, np.full(pad, -1, perm.dtype)]).reshape(steps, bs)
+            msums, wsums = None, 0.0
+            for s0 in range(0, steps, chunk):
+                idx = perm[s0:s0 + chunk]
+                w = (idx >= 0).astype(data.dtype)
+                yb = data[np.maximum(idx, 0)]
+                state, (ms, wsum) = self._run_chunk(
+                    state, jnp.asarray(yb), jnp.asarray(w), ekey)
+                ms, wsum = jax.device_get((ms, wsum))
+                part = EpochMetrics(*(float(np.sum(m * wsum)) for m in ms))
+                msums = part if msums is None else EpochMetrics(
+                    *(a + b for a, b in zip(msums, part)))
+                wsums += float(np.sum(wsum))
+            m_host = EpochMetrics(*(v / wsums for v in msums))
+            history.append(m_host)
+            if verbose:
+                print(f'epoch {epoch + 1}/{epochs} (streamed) '
+                      f'loss={m_host.loss:.6f} mse={m_host.mse:.6f} '
+                      f'mae={m_host.mae:.6f} ppl={m_host.perplexity:.1f}')
+            if log_fn is not None:
+                log_fn(epoch, m_host)
+        return state, history
+
     # --------------------------------------------------------------- fit --
     def fit(self, state: TrainState, data_host: np.ndarray, epochs: int,
             key: jax.Array, verbose: bool = False, log_fn=None):
         """Train for `epochs` epochs; returns (state, list of EpochMetrics).
 
         `data_host` is the raw [N, n_var] sample matrix; it is placed on
-        device once (replicated across the mesh)."""
+        device once (replicated across the mesh). Datasets larger than
+        `stream_bytes` take the out-of-core streaming path instead."""
+        data_host = np.asarray(data_host)
+        if data_host.nbytes > self.stream_bytes:
+            return self._fit_streaming(state, data_host, epochs, key,
+                                       verbose, log_fn)
         data = self.mesh.put(jnp.asarray(data_host, jnp.dtype(self.cfg.dtype)),
                              jax.sharding.PartitionSpec())
         history = []

@@ -21,7 +21,8 @@ import time
 def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
                    note='', *, quantizer=None, units=None,
                    fan_mode='tf_stacked', dead_code_threshold=0.0,
-                   zero_debias=True, precision='default') -> str:
+                   zero_debias=True, precision='default',
+                   activation='selu', l2_reg=0.0) -> str:
     """Hyperparameter-encoding run id, field-for-field the reference's
     format (reference run.py:38).
 
@@ -45,6 +46,10 @@ def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
         ext.append('nzd')
     if precision != 'default':
         ext.append(f'prc-{precision}')
+    if activation != 'selu':
+        ext.append(f'act-{activation}')
+    if l2_reg:
+        ext.append(f'l2-{l2_reg}')
     return base + ('_' + '_'.join(ext) if ext else '')
 
 

@@ -79,6 +79,13 @@ def build_parser() -> argparse.ArgumentParser:
                         'initializes each of the n_var networks like an '
                         'independent MLP (larger scale, fights codebook '
                         'collapse at large n_var)')
+    p.add_argument('--activation', type=str, default='selu',
+                   help='hidden activation (selu/relu/gelu/elu/tanh/sigmoid/'
+                        'linear; the reference hardcodes selu, its FatDense '
+                        'accepts any — core/dense.py:46)')
+    p.add_argument('--l2', type=float, default=0.0,
+                   help='L2 penalty on dense kernels (FatDense '
+                        'kernel_regularizer hook, core/dense.py:50)')
     p.add_argument('--vq-impl', choices=['xla', 'pallas'], default='xla',
                    help='nearest-codebook search implementation (pallas = '
                         'fused VMEM kernel)')
@@ -146,6 +153,7 @@ def main(argv=None) -> int:
         mesh_data=args.mesh_data, mesh_model=args.mesh_model,
         zero_debias=not args.no_zero_debias,
         dead_code_threshold=args.dead_code_threshold, fan_mode=args.fan_mode,
+        activation=args.activation, l2_reg=args.l2,
         vq_impl=args.vq_impl,
         precision=args.precision, cmll=args.cmll,
         checkpoint=args.checkpoint, resume=args.resume,

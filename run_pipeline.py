@@ -75,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
                         '(0 = off)')
     p.add_argument('--no-zero-debias', action='store_true',
                    help='plain moving average instead of TF zero-debiased')
+    p.add_argument('--activation', type=_csv(str), default=['selu'],
+                   help='grid over hidden activations')
+    p.add_argument('--l2', type=_csv(float), default=[0.0],
+                   help='grid over L2 kernel penalties')
     p.add_argument('--verbose', '-v', action='store_true')
     p.add_argument('--joblog', type=str, default='logs/sweep-joblog.jsonl')
     p.add_argument('--retry-failed', action='store_true',
@@ -119,15 +123,16 @@ def main(argv=None) -> int:
                          epoch=args.epoch, rate=r, cost=c, ema=args.ema,
                          decay=g, seed=s, note=args.note,
                          quantizer=qz, units=un, fan_mode=fm,
-                         dead_code_threshold=dcr,
+                         dead_code_threshold=dcr, activation=act, l2_reg=l2,
                          zero_debias=not args.no_zero_debias,
                          mesh_data=args.mesh_data, mesh_model=args.mesh_model,
                          vq_impl=args.vq_impl, precision=args.precision,
                          data_dir=args.data_dir, verbose=args.verbose)
-        for name, k, d, b, r, c, g, s, qz, un, fm, dcr in itertools.product(
+        for name, k, d, b, r, c, g, s, qz, un, fm, dcr, act, l2
+        in itertools.product(
             args.name, args.embedding, args.dim, args.batch, args.rate,
             args.cost, args.decay, args.seed, args.quantizer, args.units,
-            args.fan_mode, args.dead_code_threshold)
+            args.fan_mode, args.dead_code_threshold, args.activation, args.l2)
     ]
 
     os.makedirs(os.path.dirname(os.path.abspath(args.joblog)), exist_ok=True)

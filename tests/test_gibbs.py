@@ -55,3 +55,21 @@ def test_cmll_deterministic_and_finite():
     assert a == b, 'counter-based PRNG must make CMLL reproducible'
     assert np.isfinite(a) and a < 0
     # ragged last block (9 vars, p1=4 -> vol = [4,4,1]) exercised above
+
+
+def test_cmll_verbose_progress(capfd):
+    """verbose=True prints sampling progress (the reference's tf.print
+    behavior, core/model.py:141-142) and must not change the result."""
+    params, codebook = init_model(jax.random.PRNGKey(3), CFG)
+    rng = np.random.default_rng(3)
+    dist = rng.uniform(0.1, 0.9, size=(CFG.n_var, CFG.num_codes))
+    x = rng.integers(0, 2, size=(8, CFG.n_var)).astype(np.float32)
+    quiet = conditional_marginal_log_likelihood(
+        params, codebook, CFG, dist, x, p1=2, num_smp=6, burn_in=2,
+        key=jax.random.PRNGKey(5))
+    loud = conditional_marginal_log_likelihood(
+        params, codebook, CFG, dist, x, p1=2, num_smp=6, burn_in=2,
+        key=jax.random.PRNGKey(5), verbose=True)
+    cap = capfd.readouterr()
+    assert 'cmll sampling step' in cap.out + cap.err
+    assert quiet == loud

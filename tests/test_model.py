@@ -150,3 +150,44 @@ def test_naive_quantizer_model():
     assert out.recon.shape == (cfg.n_var, 5, cfg.n_var)
     codes = vqvae.encode_codes(params, None, y, cfg)
     assert int(jnp.max(codes)) < cfg.effective_codes == 8
+
+
+def test_activation_hook():
+    """cfg.activation swaps the hidden nonlinearity (relu here, verified
+    against a NumPy relu oracle on the encoder) — the FatDense activation
+    surface (reference core/dense.py:46)."""
+    import pytest
+    cfg = CFG._replace(activation='relu')
+    params, codebook = vqvae.init_model(jax.random.PRNGKey(0), cfg)
+    y = np.random.default_rng(0).integers(
+        0, 2, size=(5, cfg.n_var)).astype(np.float32)
+    z = np.asarray(vqvae.encode(params, jnp.asarray(y), activation='relu'))
+    # NumPy oracle for network 0
+    x = y.copy()
+    x[:, 0] = 0.0
+    for w, b in params['enc']:
+        x = np.maximum(x @ np.asarray(w[0]) + np.asarray(b[0]), 0.0)
+    np.testing.assert_allclose(z[0], x, rtol=1e-5, atol=1e-6)
+    # selu and relu forward passes genuinely differ
+    z_selu = np.asarray(vqvae.encode(params, jnp.asarray(y)))
+    assert not np.allclose(z, z_selu)
+    with pytest.raises(ValueError, match='unknown activation'):
+        vqvae.activation_fn('swoosh')
+
+
+def test_l2_regularizer_shrinks_kernels():
+    """l2_reg > 0 must pull dense kernel norms below the unregularized run
+    after identical training (the kernel_regularizer hook,
+    reference core/dense.py:50)."""
+    from pgmvae_tpu.train import Trainer
+    y = np.random.default_rng(1).integers(
+        0, 2, size=(64, CFG.n_var)).astype(np.float32)
+
+    def norms(cfg):
+        tr = Trainer(cfg, 0.01, 16, len(y))
+        st = tr.init_state(jax.random.PRNGKey(0))
+        for e in range(5):
+            st, _ = tr.run_epoch(st, jnp.asarray(y), jax.random.PRNGKey(e))
+        return float(vqvae.l2_penalty(st.params))
+
+    assert norms(CFG._replace(l2_reg=0.05)) < norms(CFG)
