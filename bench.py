@@ -6,20 +6,44 @@ best_so_far hyperparameters, data/trw/SUMMARY.txt).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
 
-vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
-The baseline proxy is 40,000 samples/sec — a TF2-GPU Keras `fit` bound for
-this model: Keras dispatches one graph per step from Python at ~3 ms/step
-floor on small models, i.e. ~128/0.003 ≈ 42.7k samples/sec. Our whole-epoch
-`lax.scan` removes that per-step dispatch entirely.
+Timing is HONEST under the remote-dispatch backend: the clock stops only
+after `jax.device_get` of the epoch metrics, which forces the full remote
+execution drain (`block_until_ready` on this backend acknowledges enqueue,
+not completion — round-1's 16M samples/sec was an enqueue rate).
+
+vs_baseline: the denominator is the MEASURED throughput of the actual TF2
+reference (driven unmodified by scripts/bench_reference_tf.py on this
+host's CPU; methodology + GPU-bound discussion in BASELINE.md). It is
+re-measured live each run when TF is importable; otherwise the recorded
+measurement below is used.
 
 Extra diagnostics (stage-2 eval wall, PLL quality) go to stderr.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-BASELINE_SAMPLES_PER_SEC = 40_000.0  # TF2-GPU Keras per-step dispatch proxy
+# scripts/bench_reference_tf.py -n nltcs --epochs 5 on this host
+# (TF 2.21 CPU, oneDNN): 34585.1 samples/sec, 3.684 ms/step at bs=128.
+TF2_MEASURED_FALLBACK = 34585.1
+
+
+def measure_tf2_baseline() -> tuple:
+    """Measured TF2-reference samples/sec (live if possible)."""
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          'scripts', 'bench_reference_tf.py')
+    try:
+        out = subprocess.run(
+            [sys.executable, script, '-n', 'nltcs', '--epochs', '3'],
+            capture_output=True, text=True, timeout=420)
+        line = out.stdout.strip().splitlines()[-1]
+        sps = float(json.loads(line)['samples_per_sec'])
+        return sps, 'measured live (TF2 reference on host CPU)'
+    except Exception as e:  # noqa: BLE001 — fall back to the recorded number
+        return TF2_MEASURED_FALLBACK, f'recorded measurement (live run failed: {type(e).__name__})'
 
 
 def main() -> int:
@@ -42,18 +66,16 @@ def main() -> int:
     state = trainer.init_state(jax.random.PRNGKey(1))
     data = jnp.asarray(y)
 
-    # warmup epochs (compile + codebook settling)
-    for e in range(3):
-        state, m = trainer.run_epoch(state, data,
-                                     jax.random.fold_in(jax.random.PRNGKey(0), e))
-    jax.block_until_ready(m)
+    # warmup: compiles the 64-epoch block program + settles the codebook;
+    # device_get forces real completion
+    state, m = trainer.run_epochs(state, data, jax.random.PRNGKey(0), 0, 64)
+    jax.device_get(m)
 
-    epochs = 50
+    epochs = 64                       # one 64-epoch block execution
     t0 = time.time()
-    for e in range(epochs):
-        state, m = trainer.run_epoch(state, data,
-                                     jax.random.fold_in(jax.random.PRNGKey(1), e))
-    jax.block_until_ready(m)
+    state, m = trainer.run_epochs(state, data, jax.random.PRNGKey(1),
+                                  0, epochs)
+    jax.device_get(m)                 # honest: full remote drain
     train_wall = time.time() - t0
     samples_per_sec = epochs * len(y) / train_wall
 
@@ -64,15 +86,18 @@ def main() -> int:
     pll_test = s2.pseudo_log_likelihood(state.params, trainer.codebook(state),
                                         y_test, dist)
     eval_wall = time.time() - t1
+
+    baseline_sps, how = measure_tf2_baseline()
     print(f'device={jax.devices()[0]} steady-state {epochs} epochs '
-          f'in {train_wall:.3f}s; stage-2 (cpt + test PLL incl compile) '
-          f'{eval_wall:.3f}s; pll-test={pll_test:.5f}', file=sys.stderr)
+          f'in {train_wall:.3f}s (drained); stage-2 (cpt + test PLL incl '
+          f'compile) {eval_wall:.3f}s; pll-test={pll_test:.5f}; '
+          f'baseline {baseline_sps:.1f} samples/sec [{how}]', file=sys.stderr)
 
     print(json.dumps({
         'metric': 'stage-1 train throughput (nltcs K=50 D=10 bs=128 EMA)',
         'value': round(samples_per_sec, 1),
         'unit': 'samples/sec/chip',
-        'vs_baseline': round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 2),
+        'vs_baseline': round(samples_per_sec / baseline_sps, 2),
     }))
     return 0
 

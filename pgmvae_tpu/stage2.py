@@ -12,13 +12,21 @@ where `dist` is always the CPT estimated on the *train* split.
 
 TPU-native implementation: the reference loops 200-sample Python chunks and
 reduces with `map_fn(boolean_mask)` (reference `core/model.py:61-80`) — an
-implementation artifact. Here the whole dataset is counted in ONE jitted
-`lax.scan` over device-resident chunks; each chunk is an encoder pass plus a
-one-hot einsum (`n1 = einsum('nbk,bn->nk', onehot*w, y)`), so the hot work is
-batched matmuls on the MXU. Counts are integer-valued and exactly
-representable in f32 (N <= 291k << 2^24), accumulated on device in f32 and
-finished on the host in float64 — which makes the CPT/PLL arithmetic match
-the reference's float64 path bit-for-bit given equal counts.
+implementation artifact. Here each fixed-size chunk is ONE jitted program:
+an encoder pass plus a one-hot einsum (`n1 = einsum('nbk,bn->nk', onehot*w,
+y)`), so the hot work is batched matmuls on the MXU. The count accumulators
+stay on device and are donated back into the next chunk call, so the host
+loop moves no data until the final [n_var, K] fetch. Counts are
+integer-valued and exactly representable in f32 (N <= 291k << 2^24),
+accumulated on device in f32 and finished on the host in float64 — which
+makes the CPT/PLL arithmetic match the reference's float64 path bit-for-bit
+given equal counts.
+
+Because the chunk shape is fixed (ragged tails are padded with weight-0
+rows, exact no-ops in the counts), ONE compiled program serves every split
+(train/valid/test) and every dataset size — the cold-compile cost is paid
+once per (n_var, K, chunk), not once per scan-length bucket as in the
+earlier whole-dataset-scan design.
 
 Under data parallelism the chunk axis is sharded over 'data' and the count
 reduction psum happens inside the einsum via GSPMD.
@@ -26,12 +34,16 @@ reduction psum happens inside the einsum via GSPMD.
 
 from __future__ import annotations
 
-import math
+import os
+import sys
+import time
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_DEBUG = os.environ.get('PGMVAE_S2_DEBUG') == '1'
 
 from pgmvae_tpu.models import vqvae
 from pgmvae_tpu.parallel.mesh import MeshContext
@@ -40,18 +52,22 @@ SMOOTHING = 0.8     # reference core/model.py:88
 LOG_EPS = 1e-5      # reference core/model.py:93-94
 
 
-def auto_chunk(n_var: int, num_codes: int, budget_bytes: int = 1 << 28) -> int:
-    """Chunk size bounding per-chunk device buffers to ~256 MB.
+def auto_chunk(n_var: int, num_codes: int, budget_bytes: int = 1 << 27) -> int:
+    """Chunk size bounding per-chunk device buffers to ~128 MB.
 
-    The dominant f32 buffers per chunk row are the leave-one-out views
-    [n_var, chunk, n_var-1], the one-hot [n_var, chunk, K], and the first
-    hidden activation [n_var, chunk, u0<=256]."""
+    Post-redesign (padded masked leave-one-out, models/vqvae.py module doc)
+    the dominant f32 buffers per chunk row are the masked input stack
+    [n_var, chunk, n_var], the one-hot [n_var, chunk, K], and the widest
+    hidden activation [n_var, chunk, u0] (u0 <= 256 after the registry's
+    memory guard). Capped at 4096: past that the single compiled program
+    gets slower to build for no throughput gain (the per-chunk dispatch is
+    ~0.1 ms against tens of ms of compute)."""
     per_row = max(1, n_var * (n_var + num_codes + 256) * 4)
-    return int(max(32, min(8192, budget_bytes // per_row)))
+    return int(max(32, min(4096, budget_bytes // per_row)))
 
 
 class Stage2:
-    """Caches the jitted counting scan per (config, chunk)."""
+    """Caches ONE jitted per-chunk counting program per (config, chunk)."""
 
     def __init__(self, cfg: vqvae.VqVaeConfig, chunk: Optional[int] = None,
                  mesh_ctx: Optional[MeshContext] = None):
@@ -59,22 +75,14 @@ class Stage2:
         self.k = cfg.effective_codes
         self.chunk = int(chunk or auto_chunk(cfg.n_var, self.k))
         self.mesh = mesh_ctx or MeshContext(None)
-        self._count = jax.jit(self._count_impl)
+        # the count accumulators are donated back into the next chunk call
+        self._count_chunk = jax.jit(self._chunk_impl, donate_argnums=(2, 3))
 
-    def _count_impl(self, params, codebook, y, w):
-        with jax.default_matmul_precision(self.cfg.matmul_precision):
-            return self._count_body(params, codebook, y, w)
-
-    def _count_body(self, params, codebook, y, w):
-        """y [steps*chunk, n_var] padded, w [steps*chunk] validity weights."""
-        cfg, k, chunk = self.cfg, self.k, self.chunk
-        steps = y.shape[0] // chunk
-        ys = y.reshape(steps, chunk, cfg.n_var)
-        ws = w.reshape(steps, chunk)
-
-        def body(carry, inp):
-            n1, n0 = carry
-            yb, wb = inp
+    def _chunk_impl(self, params, codebook, n1, n0, yb, wb):
+        """One fixed-shape chunk: yb [chunk, n_var], wb [chunk] validity
+        weights (0 on padded rows); accumulates into n1/n0 [n_var, K]."""
+        cfg, k = self.cfg, self.k
+        with jax.default_matmul_precision(cfg.matmul_precision):
             yb = self.mesh.constrain(yb, self.mesh.batch)
             codes = vqvae.encode_codes(params, codebook, yb, cfg)  # [n,B]
             onehot = jax.nn.one_hot(codes, k, dtype=yb.dtype)      # [n,B,K]
@@ -83,26 +91,36 @@ class Stage2:
                                  preferred_element_type=jnp.float32)
             n0 = n0 + jnp.einsum('nbk,bn->nk', onehot, 1.0 - yb,
                                  preferred_element_type=jnp.float32)
-            return (n1, n0), None
-
-        init = (jnp.zeros((cfg.n_var, k), jnp.float32),
-                jnp.zeros((cfg.n_var, k), jnp.float32))
-        (n1, n0), _ = jax.lax.scan(body, init, (ys, ws))
         return n1, n0
 
     def counts(self, params, codebook, y_host: np.ndarray
                ) -> Tuple[np.ndarray, np.ndarray]:
         """Dataset code/label co-occurrence counts as float64 [n_var, K]."""
-        n = y_host.shape[0]
-        steps = math.ceil(n / self.chunk)
-        # bucket the scan length to the next power of two so differently
-        # sized splits (train/valid/test) share one compiled program —
-        # padded rows carry weight 0 and are exact no-ops in the counts
-        steps = 1 << max(steps - 1, 0).bit_length()
-        pad = steps * self.chunk - n
-        y = np.pad(y_host.astype(np.float32), ((0, pad), (0, 0)))
-        w = np.pad(np.ones(n, np.float32), (0, pad))
-        n1, n0 = self._count(params, codebook, jnp.asarray(y), jnp.asarray(w))
+        n, chunk = y_host.shape[0], self.chunk
+        n1 = jnp.zeros((self.cfg.n_var, self.k), jnp.float32)
+        n0 = jnp.zeros((self.cfg.n_var, self.k), jnp.float32)
+        for start in range(0, max(n, 1), chunk):
+            yb = np.asarray(y_host[start:start + chunk], np.float32)
+            wb = np.ones(yb.shape[0], np.float32)
+            if yb.shape[0] < chunk:                 # ragged tail: pad with
+                pad = chunk - yb.shape[0]           # weight-0 rows (no-ops)
+                yb = np.pad(yb, ((0, pad), (0, 0)))
+                wb = np.pad(wb, (0, pad))
+            # synchronize around every chunk: dispatching a donated call
+            # whose operands are still in flight — or chaining donated calls
+            # with interleaved host->device transfers — stalls the remote-
+            # dispatch tunnel for minutes (measured ~30-200 s vs ~0.2 s
+            # fully synchronized); at chunk-sized transfers and [n_var, K]
+            # outputs the extra round-trips cost ~1 ms each
+            t0 = time.time()
+            ybd, wbd = jnp.asarray(yb), jnp.asarray(wb)
+            jax.block_until_ready((ybd, wbd))
+            t1 = time.time()
+            n1, n0 = self._count_chunk(params, codebook, n1, n0, ybd, wbd)
+            jax.block_until_ready((n1, n0))
+            if _DEBUG:
+                print(f's2 chunk@{start}: xfer {t1 - t0:.3f}s '
+                      f'call {time.time() - t1:.3f}s', file=sys.stderr)
         return (np.asarray(jax.device_get(n1), np.float64),
                 np.asarray(jax.device_get(n0), np.float64))
 

@@ -99,6 +99,8 @@ class Trainer:
         self.optimizer = optax.inject_hyperparams(optax.adam)(
             learning_rate=learning_rate, eps=adam_eps)
         self._run_epoch = jax.jit(self._epoch_impl, donate_argnums=(0,))
+        self._run_epochs = jax.jit(self._epochs_impl, donate_argnums=(0,),
+                                   static_argnums=(4,))
         self._run_chunk = jax.jit(self._chunk_impl, donate_argnums=(0,))
         self._shard_rule = shard_leading_axis(cfg.n_var)
 
@@ -199,9 +201,11 @@ class Trainer:
         return TrainState(params, ema, opt_state, state.step + 1), metrics
 
     # ------------------------------------------------------------- epoch --
-    def _epoch_impl(self, state: TrainState, data: jax.Array, key: jax.Array):
+    def _epoch_body(self, state: TrainState, data: jax.Array, ekey: jax.Array):
+        """One epoch with per-epoch key `ekey`: permutation, scan over
+        batches, sample-weighted metric aggregation (Keras-style)."""
         n, bs, steps = self.n_train, self.batch_size, self.steps_per_epoch
-        perm = jax.random.permutation(key, n)
+        perm = jax.random.permutation(ekey, n)
         pad = steps * bs - n
         perm = jnp.concatenate(
             [perm, jnp.full((pad,), -1, perm.dtype)]).reshape(steps, bs)
@@ -209,19 +213,57 @@ class Trainer:
         def body(state, idx):
             w = (idx >= 0).astype(data.dtype)
             yb = jnp.take(data, jnp.maximum(idx, 0), axis=0)
-            step_key = jax.random.fold_in(key, state.step) \
+            step_key = jax.random.fold_in(ekey, state.step) \
                 if self.cfg.dead_code_threshold > 0 else None
             state, m = self.train_step(state, yb, w, key=step_key)
             return state, (m, jnp.sum(w))
 
         state, (ms, wsum) = jax.lax.scan(body, state, perm)
-        # Sample-weighted epoch averages (Keras-style progress aggregation).
         tot = jnp.sum(wsum)
         agg = EpochMetrics(*(jnp.sum(m * wsum) / tot for m in ms))
         return state, agg
 
+    def _epoch_impl(self, state: TrainState, data: jax.Array, key: jax.Array):
+        return self._epoch_body(state, data, key)
+
+    def _epochs_impl(self, state: TrainState, data: jax.Array,
+                     base_key: jax.Array, start_epoch, num_epochs: int):
+        """A block of `num_epochs` epochs as ONE device program: an outer
+        `lax.scan` over epoch indices around `_epoch_body`. Epoch e uses key
+        `fold_in(base_key, e)` — exactly what `fit` passes to `run_epoch` —
+        so block runs are bit-identical to per-epoch runs. One execution per
+        block instead of per epoch amortizes the remote-dispatch overhead
+        (the per-execution round-trip dominates small models' epochs)."""
+        def body(state, e):
+            return self._epoch_body(state, data, jax.random.fold_in(base_key, e))
+
+        es = start_epoch + jnp.arange(num_epochs)
+        state, aggs = jax.lax.scan(body, state, es)
+        return state, aggs              # EpochMetrics of [num_epochs] arrays
+
     def run_epoch(self, state: TrainState, data: jax.Array, key: jax.Array):
         return self._run_epoch(state, data, key)
+
+    # Epoch-block sizes are powers of two (largest 64) so a sweep compiles at
+    # most 7 distinct block programs regardless of --epoch values.
+    MAX_EPOCH_BLOCK = 64
+
+    def run_epochs(self, state: TrainState, data: jax.Array, key: jax.Array,
+                   start_epoch: int, num_epochs: int):
+        """Run `num_epochs` epochs (indices start_epoch..+num_epochs) in
+        power-of-two scan blocks; returns (state, EpochMetrics of
+        [num_epochs] device arrays)."""
+        outs = []
+        e, rem = start_epoch, num_epochs
+        while rem > 0:
+            blk = min(self.MAX_EPOCH_BLOCK, 1 << (rem.bit_length() - 1))
+            state, ms = self._run_epochs(state, data, key,
+                                         jnp.asarray(e, jnp.int32), blk)
+            outs.append(ms)
+            e, rem = e + blk, rem - blk
+        agg = EpochMetrics(*(jnp.concatenate([getattr(m, f) for m in outs])
+                             for f in EpochMetrics._fields))
+        return state, agg
 
     # --------------------------------------------------- streaming epochs --
     def _chunk_impl(self, state: TrainState, yb: jax.Array, w: jax.Array,
@@ -292,11 +334,12 @@ class Trainer:
                                        verbose, log_fn)
         data = self.mesh.put(jnp.asarray(data_host, jnp.dtype(self.cfg.dtype)),
                              jax.sharding.PartitionSpec())
-        history = []
-        for epoch in range(epochs):
-            state, m = self.run_epoch(state, data, jax.random.fold_in(key, epoch))
-            if verbose or log_fn is not None:
-                # host callbacks force a device sync per epoch
+        if verbose or log_fn is not None:
+            # per-epoch host callbacks force a device sync per epoch
+            history = []
+            for epoch in range(epochs):
+                state, m = self.run_epoch(
+                    state, data, jax.random.fold_in(key, epoch))
                 m_host = jax.tree.map(float, jax.device_get(m))
                 history.append(m_host)
                 if verbose:
@@ -305,13 +348,13 @@ class Trainer:
                           f'mae={m_host.mae:.6f} ppl={m_host.perplexity:.1f}')
                 if log_fn is not None:
                     log_fn(epoch, m_host)
-            else:
-                # keep the dispatch pipeline async: collect device scalars,
-                # fetch them all at the end in one transfer
-                history.append(m)
-        if history and isinstance(history[0].loss, jax.Array):
-            history = [EpochMetrics(*(float(v) for v in jax.device_get(m)))
-                       for m in history]
+            return state, history
+        # silent path: epoch-block scans (one execution per <=16 epochs),
+        # bit-identical keys to the per-epoch path; single metrics fetch
+        state, ms = self.run_epochs(state, data, key, 0, epochs)
+        ms = jax.device_get(ms)
+        history = [EpochMetrics(*(float(f[i]) for f in ms))
+                   for i in range(epochs)]
         return state, history
 
     def codebook(self, state: TrainState):

@@ -24,9 +24,14 @@ def enable_compilation_cache() -> None:
         # CPU compiles are fast anyway, and XLA:CPU AOT cache entries carry
         # pedantic machine-feature checks that flood warnings on reload
         return
+    # default to a repo-local cache dir (gitignored): the repo tree survives
+    # driver/VM restarts in this environment while $HOME may not, and a warm
+    # cache is the difference between ~1 s and minutes of remote-tunnel
+    # compiles for a cold process
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     cache_dir = os.environ.get(
-        'PGMVAE_COMPILE_CACHE_DIR',
-        os.path.join(os.path.expanduser('~'), '.cache', 'pgmvae_xla'))
+        'PGMVAE_COMPILE_CACHE_DIR', os.path.join(repo_root, '.xla_cache'))
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', cache_dir)

@@ -223,3 +223,49 @@ def test_streaming_fit_matches_incore():
                                rtol=1e-6, atol=1e-7)
     for ha, hb in zip(hist_a, hist_b):
         np.testing.assert_allclose(ha.loss, hb.loss, rtol=1e-5)
+
+
+def test_epoch_blocks_match_per_epoch_runs():
+    """fit's silent path (multi-epoch scan blocks, run_epochs) must be
+    bit-identical to the per-epoch run_epoch loop: same fold_in(key, e)
+    schedule, same state, same per-epoch metrics."""
+    y = _data(37, seed=3)
+    key = jax.random.PRNGKey(7)
+
+    tr_a = Trainer(CFG, 0.01, 8, 37)
+    state_a = tr_a.init_state(jax.random.PRNGKey(2))
+    data = jnp.asarray(y)
+    metrics_a = []
+    for e in range(5):
+        state_a, m = tr_a.run_epoch(state_a, data,
+                                    jax.random.fold_in(key, e))
+        metrics_a.append(jax.tree.map(float, jax.device_get(m)))
+
+    tr_b = Trainer(CFG, 0.01, 8, 37)
+    state_b = tr_b.init_state(jax.random.PRNGKey(2))
+    state_b, history = tr_b.fit(state_b, y, epochs=5, key=key)
+
+    assert len(history) == 5
+    for ma, mb in zip(metrics_a, history):
+        np.testing.assert_allclose(ma.loss, mb.loss, rtol=1e-6)
+        np.testing.assert_allclose(ma.mse, mb.mse, rtol=1e-6)
+        np.testing.assert_allclose(ma.mae, mb.mae, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(state_a.ema.codebook),
+                               np.asarray(state_b.ema.codebook),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_run_epochs_block_decomposition():
+    """run_epochs decomposes any epoch count into power-of-two blocks and
+    returns per-epoch metrics for all of them."""
+    y = _data(20, seed=4)
+    tr = Trainer(CFG, 0.01, 8, 20)
+    st = tr.init_state(jax.random.PRNGKey(0))
+    st, ms = tr.run_epochs(st, jnp.asarray(y), jax.random.PRNGKey(1), 0, 11)
+    ms = jax.device_get(ms)
+    assert ms.loss.shape == (11,)
+    assert np.all(np.isfinite(ms.loss))
