@@ -81,9 +81,21 @@ def run_experiment(exp: ExperimentConfig) -> dict:
                        f"{', '.join(sorted(REGISTRY))}")
     info = REGISTRY[exp.name]
     quantizer = exp.quantizer or ('ema' if exp.ema else 'vq')
-    units = tuple(exp.units) if exp.units else info.encoder_units(exp.dim)
+    units = tuple(exp.units) if exp.units else info.encoder_units(
+        exp.dim, mesh_model=exp.mesh_model)
 
-    cfg = VqVaeConfig(n_var=info.n_var, units=units, dim=exp.dim,
+    # GSPMD needs the 'model' axis to divide the stacked leading dim; pad
+    # the variable axis up with inert networks when it doesn't (e.g. bbc
+    # n_var=1058 on 8 devices -> 1064). Padding is invisible in losses,
+    # metrics, stage-2 and CMLL (n_active threads the true count through).
+    n_var = info.n_var
+    n_active = None
+    if exp.mesh_model > 1 and n_var % exp.mesh_model:
+        n_active = n_var
+        n_var = -(-n_var // exp.mesh_model) * exp.mesh_model
+
+    cfg = VqVaeConfig(n_var=n_var, n_active=n_active,
+                      units=units, dim=exp.dim,
                       num_codes=exp.embedding, cost=exp.cost, decay=exp.decay,
                       quantizer=quantizer, zero_debias=exp.zero_debias,
                       dead_code_threshold=exp.dead_code_threshold,

@@ -96,6 +96,10 @@ def _cmll_impl(params, codebook, cfg: vqvae.VqVaeConfig, dist, x,
         return state, cnt
 
     state0 = jnp.broadcast_to(x, (blocks, batch, n)).astype(jnp.float32)
+    if cfg.n_var > n:                       # padded variable axis: append
+        state0 = jnp.concatenate(           # inert zero columns for encode
+            [state0, jnp.zeros((blocks, batch, cfg.n_var - n),
+                               state0.dtype)], axis=-1)
     cnt0 = jnp.zeros((batch, n), jnp.float32)
     _, cnt = jax.lax.fori_loop(0, num_smp * p1, step, (state0, cnt0))
 

@@ -68,11 +68,22 @@ class VqVaeConfig(NamedTuple):
     #                              FatDense's kernel_regularizer,
     #                              core/dense.py:50,63-64; ref drivers never
     #                              set one, so default off)
+    n_active: Optional[int] = None  # true variable count when n_var is
+    #                              padded up so the 'model' mesh axis divides
+    #                              it (e.g. bbc 1058 -> 1064 on 8 devices).
+    #                              Networks/columns >= n_active are inert:
+    #                              zero input columns, zero loss mask rows,
+    #                              sliced out of stage-2 counts.
 
     @property
     def effective_codes(self) -> int:
         """Number of discrete codes stage 2 counts over."""
         return 2 ** self.dim if self.quantizer == 'naive' else self.num_codes
+
+    @property
+    def active_vars(self) -> int:
+        """True (unpadded) variable count."""
+        return self.n_active if self.n_active is not None else self.n_var
 
 
 # Hidden-activation registry (the reference's FatDense accepts any Keras
@@ -125,16 +136,24 @@ def _layer_dims(cfg: VqVaeConfig):
 
 
 def loo_mask(n_var: int, var_ids: Optional[jax.Array] = None,
-             dtype=jnp.float32) -> jax.Array:
+             dtype=jnp.float32,
+             n_active: Optional[int] = None) -> jax.Array:
     """Leave-one-out mask [F, 1, n_var]: 0 at each selected network's own
     variable, 1 elsewhere. Built from iota comparison — no constants in the
-    compiled program."""
+    compiled program.
+
+    With `n_active < n_var` (padded variable axis), columns >= n_active and
+    whole rows for networks >= n_active are zeroed too, making the padding
+    networks/columns exactly inert in any masked reduction."""
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_var), 2)
     if var_ids is None:
         rows = jax.lax.broadcasted_iota(jnp.int32, (n_var, 1, 1), 0)
     else:
         rows = var_ids.astype(jnp.int32)[:, None, None]
-    return (col != rows).astype(dtype)
+    keep = col != rows
+    if n_active is not None and n_active < n_var:
+        keep = keep & (col < n_active) & (rows < n_active)
+    return keep.astype(dtype)
 
 
 def init_model(key: jax.Array, cfg: VqVaeConfig):
@@ -219,12 +238,17 @@ def apply_model(params, codebook, y: jax.Array, cfg: VqVaeConfig,
     ragged final batches) applied to every mean-reduction.
     """
     z = encode(params, y, var_ids, cfg.activation)
+    # with explicit var_ids the rows are selection positions, not variable
+    # ids — the padding row-mask only applies to the full-stack layout
+    na = (cfg.active_vars
+          if var_ids is None and cfg.active_vars < cfg.n_var else None)
     if cfg.quantizer == 'naive':
-        out = q.naive_forward(z, weights)
+        out = q.naive_forward(z, weights, n_active=na)
         latent, indices = out.output, q.naive_codes(z)
         e_loss, q_loss = out.e_loss, jnp.zeros((), z.dtype)
     else:
-        vq = q.vq_forward(z, codebook, weights, impl=cfg.vq_impl)
+        vq = q.vq_forward(z, codebook, weights, impl=cfg.vq_impl,
+                          n_active=na)
         latent, indices, e_loss, q_loss = vq
     recon = _decode(params, latent, cfg.activation)
     return ForwardOut(recon, z, indices, e_loss, q_loss)

@@ -70,13 +70,21 @@ def vq_quantize(codebook: jax.Array, indices: jax.Array) -> jax.Array:
         indices[:, :, None], axis=1)
 
 
-def _masked_mean(x: jax.Array, weights: Optional[jax.Array]) -> jax.Array:
+def _masked_mean(x: jax.Array, weights: Optional[jax.Array],
+                 n_active: Optional[int] = None) -> jax.Array:
     """Mean over all elements, with optional per-batch-element weights on
-    axis 1 (for ragged final batches; weight 1 == plain mean)."""
+    axis 1 (for ragged final batches; weight 1 == plain mean). With a padded
+    variable axis, `n_active` excludes networks >= n_active from both the
+    sum and the denominator."""
+    n = x.shape[0]
+    if n_active is not None and n_active < n:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+        x = x * (row < n_active).astype(x.dtype)
+        n = n_active
     if weights is None:
-        return jnp.mean(x)
+        return jnp.sum(x) / (n * x.shape[1] * x.shape[2])
     w = weights[None, :, None]
-    denom = x.shape[0] * x.shape[2] * jnp.sum(weights)
+    denom = n * x.shape[2] * jnp.sum(weights)
     return jnp.sum(x * w) / denom
 
 
@@ -89,17 +97,22 @@ class VqOut(NamedTuple):
 
 def vq_forward(z: jax.Array, codebook: jax.Array,
                weights: Optional[jax.Array] = None,
-               impl: str = 'xla') -> VqOut:
+               impl: str = 'xla',
+               n_active: Optional[int] = None) -> VqOut:
     """Quantize with straight-through gradients and both latent losses.
 
     e_loss = mean((sg(q) - z)^2)   — commitment (ref quantizer.py:50,142)
     q_loss = mean((q - sg(z))^2)   — codebook   (ref quantizer.py:51)
     output = z + sg(q - z)         — ST estimator (ref quantizer.py:53,156)
+
+    `n_active` masks padded variable-axis networks out of both losses.
     """
     indices = vq_codes(z, codebook, impl=impl)
     quantized = vq_quantize(codebook, indices)
-    e_loss = _masked_mean((jax.lax.stop_gradient(quantized) - z) ** 2, weights)
-    q_loss = _masked_mean((quantized - jax.lax.stop_gradient(z)) ** 2, weights)
+    e_loss = _masked_mean((jax.lax.stop_gradient(quantized) - z) ** 2,
+                          weights, n_active)
+    q_loss = _masked_mean((quantized - jax.lax.stop_gradient(z)) ** 2,
+                          weights, n_active)
     output = z + jax.lax.stop_gradient(quantized - z)
     return VqOut(output, indices, e_loss, q_loss)
 
@@ -227,10 +240,11 @@ class NaiveOut(NamedTuple):
 
 
 def naive_forward(z: jax.Array,
-                  weights: Optional[jax.Array] = None) -> NaiveOut:
+                  weights: Optional[jax.Array] = None,
+                  n_active: Optional[int] = None) -> NaiveOut:
     """loss = mean(-(z-0.5)^2) (pushes latents to 0/1, ref :193); output is a
     hard 0/1 step via the reference's clamp trick (ref :194)."""
-    e_loss = _masked_mean(-((z - 0.5) ** 2), weights)
+    e_loss = _masked_mean(-((z - 0.5) ** 2), weights, n_active)
     output = jnp.minimum(jnp.maximum(z - 0.499999, 0.0) * 1e7, 1.0)
     return NaiveOut(output, e_loss)
 

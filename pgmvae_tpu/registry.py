@@ -28,15 +28,23 @@ class DatasetInfo:
     paper_pll: float  # magnitude of the published (negative) PLL
     units: Optional[Tuple[int, int, int, int]] = None  # tuned encoder widths
 
-    def encoder_units(self, dim: int) -> Tuple[int, int, int, int]:
-        """Tuned widths if recorded, else the default heuristic."""
+    def encoder_units(self, dim: int,
+                      mesh_model: int = 1) -> Tuple[int, int, int, int]:
+        """Tuned widths if recorded, else the default heuristic.
+
+        `mesh_model` > 1 means the variable axis is sharded over that many
+        devices, so each device holds 1/mesh_model of every stacked leaf —
+        the single-chip memory guard inside `default_units` scales its
+        budget accordingly (the cap stops biting once enough chips share
+        the stacks)."""
         if self.units is not None:
             return self.units
-        return default_units(self.n_var, dim)
+        return default_units(self.n_var, dim, mesh_model=mesh_model)
 
 
 def default_units(n_var: int, dim: int,
-                  hbm_budget_bytes: float = 10e9) -> Tuple[int, int, int, int]:
+                  hbm_budget_bytes: float = 10e9,
+                  mesh_model: int = 1) -> Tuple[int, int, int, int]:
     """Encoder width heuristic for datasets without hand-tuned widths.
 
     Follows the shape of the commented heuristic in reference `run.py:42-45`
@@ -50,9 +58,11 @@ def default_units(n_var: int, dim: int,
     2 Adam moments + grads + XLA temp/remat copies; calibrated on bbc
     n=1058, where u0=169 OOMs and u0=128 fits a 16 GB v5e). Only bites for
     n_var >~ 790 (webkb-size and up). Sharding the variable axis over more
-    chips (--mesh-model) raises the effective budget proportionally.
+    chips (--mesh-model) raises the effective budget proportionally —
+    pass `mesh_model` and the guard widens with the mesh.
     """
-    mem_cap = max(int(hbm_budget_bytes / (80.0 * n_var * n_var)), 8)
+    budget = hbm_budget_bytes * max(int(mesh_model), 1)
+    mem_cap = max(int(budget / (80.0 * n_var * n_var)), 8)
     u0 = max(min(n_var // 2, 200, mem_cap), dim)
     u1 = max(min(n_var // 3, u0), dim)
     u2 = max(min(n_var // 5, u1), dim)

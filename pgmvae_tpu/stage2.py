@@ -95,7 +95,12 @@ class Stage2:
 
     def counts(self, params, codebook, y_host: np.ndarray
                ) -> Tuple[np.ndarray, np.ndarray]:
-        """Dataset code/label co-occurrence counts as float64 [n_var, K]."""
+        """Dataset code/label co-occurrence counts as float64
+        [active_vars, K]. Accepts true-width samples when the model's
+        variable axis is padded (zero columns appended here)."""
+        if y_host.shape[1] < self.cfg.n_var:       # padded variable axis
+            y_host = np.pad(np.asarray(y_host),
+                            ((0, 0), (0, self.cfg.n_var - y_host.shape[1])))
         n, chunk = y_host.shape[0], self.chunk
         n1 = jnp.zeros((self.cfg.n_var, self.k), jnp.float32)
         n0 = jnp.zeros((self.cfg.n_var, self.k), jnp.float32)
@@ -121,8 +126,9 @@ class Stage2:
             if _DEBUG:
                 print(f's2 chunk@{start}: xfer {t1 - t0:.3f}s '
                       f'call {time.time() - t1:.3f}s', file=sys.stderr)
-        return (np.asarray(jax.device_get(n1), np.float64),
-                np.asarray(jax.device_get(n0), np.float64))
+        na = self.cfg.active_vars           # padding networks sliced away
+        return (np.asarray(jax.device_get(n1), np.float64)[:na],
+                np.asarray(jax.device_get(n0), np.float64)[:na])
 
     def cpt(self, params, codebook, y_train: np.ndarray) -> np.ndarray:
         """Smoothed conditional probability table p(y_v=1 | code=k),

@@ -63,12 +63,13 @@ class EpochMetrics(NamedTuple):
     perplexity: jax.Array  # codebook usage: exp(entropy of code histogram)
 
 
-def _masked_recon_mean(x, w, mask):
+def _masked_recon_mean(x, w, mask, n_active=None):
     """Mean over a [n, B, n] tensor with per-batch weights w [B] and the
     leave-one-out mask [n, 1, n] (each network's own column excluded) —
     denominator n*(n-1)*sum(w), matching the reference's mean over the
-    gathered [n, B, n-1] views."""
-    n = x.shape[0]
+    gathered [n, B, n-1] views. With a padded variable axis, `n_active` is
+    the true count (the mask already zeroes the padding rows/columns)."""
+    n = n_active if n_active is not None else x.shape[0]
     return jnp.sum(x * mask * w[None, :, None]) / (
         n * (n - 1) * jnp.maximum(jnp.sum(w), 1.0))
 
@@ -140,7 +141,8 @@ class Trainer:
                          key=None):
         cfg, mesh = self.cfg, self.mesh
         y = mesh.constrain(y, mesh.batch)
-        mask = vqvae.loo_mask(cfg.n_var, None, y.dtype)
+        mask = vqvae.loo_mask(cfg.n_var, None, y.dtype,
+                              n_active=cfg.active_vars)
 
         def loss_fn(params):
             if cfg.quantizer == 'vq':
@@ -152,7 +154,8 @@ class Trainer:
             out = vqvae.apply_model(params, codebook, y, cfg, weights=w)
             recon = mesh.constrain(
                 out.recon, jax.sharding.PartitionSpec('model', 'data', None))
-            mse = _masked_recon_mean((recon - y[None]) ** 2, w, mask)
+            mse = _masked_recon_mean((recon - y[None]) ** 2, w, mask,
+                                     cfg.active_vars)
             if cfg.quantizer == 'vq':
                 aux = out.q_loss + cfg.cost * out.e_loss
             else:  # 'ema' and 'naive': commitment term only
@@ -189,10 +192,12 @@ class Trainer:
             # a [n_var, 2^dim] tensor — skip the metric rather than OOM
             counts = None
 
-        mae = _masked_recon_mean(jnp.abs(out.recon - y[None]), w, mask)
+        mae = _masked_recon_mean(jnp.abs(out.recon - y[None]), w, mask,
+                                 cfg.active_vars)
         if counts is None:
             perplexity = jnp.zeros((), y.dtype)
         else:
+            counts = counts[:cfg.active_vars]   # padding networks excluded
             p = counts / jnp.maximum(
                 jnp.sum(counts, axis=1, keepdims=True), 1.0)
             perplexity = jnp.mean(jnp.exp(-jnp.sum(
@@ -329,6 +334,10 @@ class Trainer:
         device once (replicated across the mesh). Datasets larger than
         `stream_bytes` take the out-of-core streaming path instead."""
         data_host = np.asarray(data_host)
+        if data_host.shape[1] < self.cfg.n_var:    # padded variable axis:
+            data_host = np.pad(                    # append zero columns
+                data_host,
+                ((0, 0), (0, self.cfg.n_var - data_host.shape[1])))
         if data_host.nbytes > self.stream_bytes:
             return self._fit_streaming(state, data_host, epochs, key,
                                        verbose, log_fn)

@@ -43,40 +43,12 @@ def main() -> int:
     os.environ.setdefault('TF_CPP_MIN_LOG_LEVEL', '3')
     os.environ['CUDA_VISIBLE_DEVICES'] = '-1'
     sys.path.insert(0, args.ref)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import numpy as np
     import tensorflow as tf
-    # compat shim: TF 2.21 removed DistributedDatasetInterface from
-    # input_lib but the bundled legacy keras data_adapter still references
-    # it; a never-matching dummy class restores the (false) isinstance check
-    from tensorflow.python.distribute import input_lib
-    if not hasattr(input_lib, 'DistributedDatasetInterface'):
-        input_lib.DistributedDatasetInterface = type(
-            '_NeverDistributedDataset', (), {})
+    import _tf_ref_compat                        # TF 2.21 shims (see module)
+    _tf_ref_compat.install()
     from tensorflow.python.keras.optimizer_v2 import adam
-    # compat shim 2: TF 2.21's moving_averages.assign_moving_average zero-
-    # debias path needs Tensor.op (graph-only) and crashes under eager;
-    # replace it with a faithful reimplementation of the same semantics
-    # (biased accumulator + local step, unbiased = biased/(1-decay^step) —
-    # the exact math our JAX EMA oracle pins in tests/test_quantizer.py)
-    from tensorflow.python.training import moving_averages as ma
-    _aux = {}
-
-    def _amav(variable, value, decay, zero_debias=True, name=None):
-        decay = tf.cast(decay, variable.dtype)
-        if not zero_debias:
-            return variable.assign_sub((1.0 - decay) * (variable - value))
-        key = id(variable)
-        if key not in _aux:
-            _aux[key] = (tf.Variable(tf.zeros_like(variable),
-                                     trainable=False),
-                         tf.Variable(tf.zeros([], variable.dtype),
-                                     trainable=False))
-        biased, step = _aux[key]
-        biased.assign_sub((1.0 - decay) * (biased - value))
-        step.assign_add(1.0)
-        return variable.assign(biased / (1.0 - tf.pow(decay, step)))
-
-    ma.assign_moving_average = _amav
     from core.model import VqVAE                 # reference class, unmodified
     from baseline import baseline as bl
 

@@ -106,3 +106,45 @@ def test_shard_rule():
     assert rule(jnp.zeros((8, 3, 4))) == P('model', None, None)
     assert rule(jnp.zeros((4, 3))) == P()
     assert rule(jnp.zeros(())) == P()
+
+
+def test_mesh_model_lifts_width_guard():
+    """The single-chip memory guard shrinks bbc-class widths; sharding the
+    variable axis must widen the budget proportionally (VERDICT r1 #8)."""
+    from pgmvae_tpu.registry import REGISTRY, default_units
+    bbc = REGISTRY['bbc']
+    solo = bbc.encoder_units(30)                 # memory-guarded single chip
+    lifted = bbc.encoder_units(30, mesh_model=8)
+    assert solo[0] < 128, solo         # guard bites on one chip (n=1058)
+    assert lifted[0] == 200, lifted    # only the n//2-vs-200 cap remains
+    # 'ad' (n=1556): the guard also bites, and also lifts with the mesh
+    assert default_units(1556, 30)[0] < default_units(1556, 30,
+                                                      mesh_model=8)[0]
+
+
+def test_bbc_full_width_param_bytes_divided_across_model_axis():
+    """bbc (n_var=1058) at UNGUARDED webkb-class widths (u0=400,
+    reference baseline.py:22) on a (1, 8) model mesh: every stacked leaf
+    must be physically split 8 ways — per-device bytes == total/8 — so the
+    per-chip footprint that OOMs a single 16 GB v5e fits 8 of them.
+
+    1058 % 8 != 0, so (as the driver does) the variable axis pads up to
+    1064 with n_active=1058 inert networks — GSPMD requires the 'model'
+    axis to divide the stacked leading dim."""
+    cfg = VqVaeConfig(n_var=1064, n_active=1058,
+                      units=(400, 200, 100, 50), dim=30,
+                      num_codes=20, quantizer='ema')
+    ctx = MeshContext(make_mesh(1, 8))
+    tr = Trainer(cfg, 0.001, 16, 256, mesh_ctx=ctx)
+    st = tr.init_state(jax.random.PRNGKey(0))
+
+    total = 0
+    for leaf in jax.tree.leaves((st.params, st.ema)):
+        if leaf.ndim >= 1 and leaf.shape[0] == cfg.n_var:
+            shards = leaf.addressable_shards
+            assert len(shards) == 8, leaf.shape
+            per_dev = shards[0].data.nbytes
+            assert per_dev * 8 == leaf.nbytes, (leaf.shape, per_dev)
+            total += leaf.nbytes
+    # the stacked stacks really are the multi-GB regime the guard protects
+    assert total > 4e9, total
