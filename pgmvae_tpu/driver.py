@@ -36,7 +36,7 @@ class ExperimentConfig:
     fan_mode: str = 'tf_stacked'    # init fan semantics (see initializers)
     activation: str = 'selu'
     l2_reg: float = 0.0
-    vq_impl: str = 'xla'
+    vq_impl: str = 'auto'
     precision: str = 'default'
     cmll: bool = False
     checkpoint: Optional[str] = None

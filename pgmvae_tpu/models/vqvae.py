@@ -59,7 +59,7 @@ class VqVaeConfig(NamedTuple):
     dead_code_threshold: float = 0.0  # >0: restart codes with EMA usage < t
     fan_mode: str = 'tf_stacked'
     dtype: str = 'float32'
-    vq_impl: str = 'xla'         # 'xla' | 'pallas' | 'pallas_interpret'
+    vq_impl: str = 'auto'   # 'auto' | 'xla' | 'pallas' | 'pallas_interpret'
     matmul_precision: str = 'default'  # jax.default_matmul_precision name
     activation: str = 'selu'     # hidden activation (ref hardcodes selu,
     #                              core/model.py:19-35; Keras FatDense lets

@@ -44,15 +44,36 @@ def vq_distances(z: jax.Array, codebook: jax.Array) -> jax.Array:
     return z2 - 2.0 * cross + w2
 
 
+# Above this distance-tensor size the XLA path's materialized [n, B, K]
+# intermediate risks OOM on a 16 GB v5e (and is pure HBM-bandwidth waste);
+# the Pallas kernel never materializes it. Below it XLA wins at every
+# measured shape (scripts/bench_pallas_vq.py table, docs/design.md).
+AUTO_PALLAS_BYTES = 4 << 30
+
+
+def auto_impl(n_var: int, batch: int, num_codes: int) -> str:
+    """'xla' while the f32 [n, B, K] distance tensor stays under
+    AUTO_PALLAS_BYTES (XLA wins every measured shape there), 'pallas'
+    beyond (XLA is OOM-infeasible there; the kernel streams K tiles
+    through VMEM instead)."""
+    nbytes = 4.0 * n_var * batch * num_codes
+    return 'pallas' if nbytes > AUTO_PALLAS_BYTES else 'xla'
+
+
 def vq_codes(z: jax.Array, codebook: jax.Array,
              impl: str = 'xla') -> jax.Array:
     """Nearest-codebook indices [n, B] (argmin over K; ties -> lowest index,
     matching `tf.argmin`).
 
-    impl: 'xla' (default — XLA output-fuses the argmin into the distance
-    matmul on TPU), 'pallas' (fused VMEM kernel, ops/pallas_vq.py; wins at
-    small/medium shapes), or 'pallas_interpret' (for CPU tests).
+    impl: 'xla' (XLA fuses the norms into the distance matmul on TPU and
+    wins at every shape where the [n,B,K] distance tensor fits — measured
+    table in docs/design.md), 'pallas' (fused VMEM kernel,
+    ops/pallas_vq.py — never materializes [n,B,K], so it executes shapes
+    XLA cannot, e.g. n=1058 B=1024 K=4096 = 17.7 GB), 'auto' (XLA below
+    AUTO_PALLAS_BYTES, Pallas above), or 'pallas_interpret' (CPU tests).
     """
+    if impl == 'auto':
+        impl = auto_impl(z.shape[0], z.shape[1], codebook.shape[2])
     if impl in ('pallas', 'pallas_interpret'):
         from pgmvae_tpu.ops.pallas_vq import vq_codes_fused
         # argmin carries no gradient; stop_gradient keeps tangents out of the

@@ -86,9 +86,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--l2', type=float, default=0.0,
                    help='L2 penalty on dense kernels (FatDense '
                         'kernel_regularizer hook, core/dense.py:50)')
-    p.add_argument('--vq-impl', choices=['xla', 'pallas'], default='xla',
-                   help='nearest-codebook search implementation (pallas = '
-                        'fused VMEM kernel)')
+    p.add_argument('--vq-impl', choices=['xla', 'pallas', 'auto'],
+                   default='auto',
+                   help='nearest-codebook search implementation: xla '
+                        '(fastest when the [n,B,K] distance tensor fits), '
+                        'pallas (fused VMEM kernel, no materialized '
+                        'distances), auto (xla below 2 GB distances, '
+                        'pallas above — measured table in docs/design.md)')
     p.add_argument('--precision', choices=['default', 'float32', 'highest'],
                    default='default',
                    help='matmul precision (default = bf16-input f32-accum '

@@ -49,3 +49,19 @@ def test_vq_forward_pallas_impl_grads():
         vq_forward(z, w, impl='xla')))(z)
     np.testing.assert_allclose(np.asarray(g), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_auto_impl_rule():
+    """'auto' = XLA while the [n,B,K] f32 distance tensor fits comfortably
+    (it wins every measured shape there — docs/design.md table), Pallas
+    past AUTO_PALLAS_BYTES where XLA is OOM-infeasible."""
+    from pgmvae_tpu.ops.quantizer import AUTO_PALLAS_BYTES, auto_impl
+    assert auto_impl(16, 128, 50) == 'xla'
+    assert auto_impl(1058, 1024, 512) == 'xla'      # 2.2 GB: fits, XLA won
+    assert 4.0 * 1058 * 1024 * 4096 > AUTO_PALLAS_BYTES
+    assert auto_impl(1058, 1024, 4096) == 'pallas'  # 17.7 GB: XLA OOM
+    # 'auto' through the public entry point matches plain xla numerically
+    z = jax.random.normal(jax.random.PRNGKey(4), (4, 16, 8))
+    w = jax.random.normal(jax.random.PRNGKey(5), (4, 8, 32))
+    np.testing.assert_array_equal(np.asarray(vq_codes(z, w, impl='auto')),
+                                  np.asarray(vq_codes(z, w, impl='xla')))
