@@ -39,6 +39,9 @@ class ExperimentConfig:
     vq_impl: str = 'auto'
     precision: str = 'default'
     cmll: bool = False
+    select_on_valid: int = 0   # >0: evaluate valid PLL every N epochs and
+    #                            keep the best snapshot (anti-overfit; the
+    #                            reference always uses the final epoch)
     checkpoint: Optional[str] = None
     resume: Optional[str] = None
     data_dir: Optional[str] = None
@@ -56,7 +59,8 @@ class ExperimentConfig:
                               dead_code_threshold=self.dead_code_threshold,
                               zero_debias=self.zero_debias,
                               precision=self.precision,
-                              activation=self.activation, l2_reg=self.l2_reg)
+                              activation=self.activation, l2_reg=self.l2_reg,
+                              select_on_valid=self.select_on_valid)
 
 
 def run_experiment(exp: ExperimentConfig) -> dict:
@@ -130,15 +134,38 @@ def run_experiment(exp: ExperimentConfig) -> dict:
                 f'requested run: ' + '; '.join(mismatches))
         state = trainer.shard_state(state)
 
+    s2 = Stage2(cfg, mesh_ctx=mesh_ctx)
+    log_fn = logger.log_epoch if logger else None
+    best_epoch = exp.epoch
     t0 = time.time()
-    state, _ = trainer.fit(state, y_train, exp.epoch, key,
-                           verbose=exp.verbose,
-                           log_fn=logger.log_epoch if logger else None)
+    if exp.select_on_valid > 0:
+        # Block training with periodic valid-PLL checkpointing: epoch keys
+        # are offset by start_epoch, so the trained trajectory is
+        # bit-identical to a plain `fit` of the same total epochs — only
+        # WHICH point on it we keep differs (best valid PLL, not last).
+        y_valid = load_split(exp.name, 'valid', exp.data_dir)
+        best_pll, best_state, done = -float('inf'), None, 0
+        while done < exp.epoch:
+            blk = min(exp.select_on_valid, exp.epoch - done)
+            state, _ = trainer.fit(state, y_train, blk, key,
+                                   verbose=exp.verbose, log_fn=log_fn,
+                                   start_epoch=done)
+            done += blk
+            cb = trainer.codebook(state)
+            d_sel = s2.cpt(state.params, cb, y_train)
+            pv = s2.pseudo_log_likelihood(state.params, cb, y_valid, d_sel)
+            if exp.verbose:
+                print(f'select-on-valid: epoch {done} pll-valid {pv:.5f}')
+            if pv > best_pll:
+                best_pll, best_state, best_epoch = pv, state, done
+        state = best_state
+    else:
+        state, _ = trainer.fit(state, y_train, exp.epoch, key,
+                               verbose=exp.verbose, log_fn=log_fn)
     jax.block_until_ready(state.params)
     train_wall = time.time() - t0
 
     codebook = trainer.codebook(state)
-    s2 = Stage2(cfg, mesh_ctx=mesh_ctx)
     t1 = time.time()
     dist = s2.cpt(state.params, codebook, y_train)
     pll = {}
@@ -169,6 +196,8 @@ def run_experiment(exp: ExperimentConfig) -> dict:
                                  / max(train_wall, 1e-9), 1),
         'paper_pll': -info.paper_pll,
     }
+    if exp.select_on_valid > 0:
+        result['best_epoch'] = best_epoch
     if logger:
         logger.log_final(**result)
         logger.close()

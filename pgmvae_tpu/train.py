@@ -286,7 +286,8 @@ class Trainer:
         return jax.lax.scan(body, state, (yb, w))
 
     def _fit_streaming(self, state: TrainState, data_host: np.ndarray,
-                       epochs: int, key: jax.Array, verbose: bool, log_fn):
+                       epochs: int, key: jax.Array, verbose: bool, log_fn,
+                       start_epoch: int = 0):
         """Host-chunked epochs for datasets too large to keep device-resident
         (the out-of-core path; see `stream_bytes`). The permutation, padding
         and per-step weights replicate `_epoch_impl` exactly; the only
@@ -297,7 +298,7 @@ class Trainer:
         chunk = max(1, min(steps, self.stream_chunk_bytes // max(row_bytes, 1)))
         data = np.asarray(data_host, dtype)
         history = []
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, start_epoch + epochs):
             ekey = jax.random.fold_in(key, epoch)
             perm = np.asarray(jax.random.permutation(ekey, n))
             pad = steps * bs - n
@@ -318,7 +319,7 @@ class Trainer:
             m_host = EpochMetrics(*(v / wsums for v in msums))
             history.append(m_host)
             if verbose:
-                print(f'epoch {epoch + 1}/{epochs} (streamed) '
+                print(f'epoch {epoch + 1}/{start_epoch + epochs} (streamed) '
                       f'loss={m_host.loss:.6f} mse={m_host.mse:.6f} '
                       f'mae={m_host.mae:.6f} ppl={m_host.perplexity:.1f}')
             if log_fn is not None:
@@ -327,12 +328,19 @@ class Trainer:
 
     # --------------------------------------------------------------- fit --
     def fit(self, state: TrainState, data_host: np.ndarray, epochs: int,
-            key: jax.Array, verbose: bool = False, log_fn=None):
+            key: jax.Array, verbose: bool = False, log_fn=None,
+            start_epoch: int = 0):
         """Train for `epochs` epochs; returns (state, list of EpochMetrics).
 
         `data_host` is the raw [N, n_var] sample matrix; it is placed on
         device once (replicated across the mesh). Datasets larger than
-        `stream_bytes` take the out-of-core streaming path instead."""
+        `stream_bytes` take the out-of-core streaming path instead.
+
+        `start_epoch` offsets the per-epoch PRNG keys (epoch e always uses
+        `fold_in(key, e)`), so fit(..., epochs=a) followed by
+        fit(..., epochs=b, start_epoch=a) is bit-identical to one
+        fit(..., epochs=a+b) — the contract valid-selection block training
+        relies on (tests/test_train.py)."""
         data_host = np.asarray(data_host)
         if data_host.shape[1] < self.cfg.n_var:    # padded variable axis:
             data_host = np.pad(                    # append zero columns
@@ -340,19 +348,19 @@ class Trainer:
                 ((0, 0), (0, self.cfg.n_var - data_host.shape[1])))
         if data_host.nbytes > self.stream_bytes:
             return self._fit_streaming(state, data_host, epochs, key,
-                                       verbose, log_fn)
+                                       verbose, log_fn, start_epoch)
         data = self.mesh.put(jnp.asarray(data_host, jnp.dtype(self.cfg.dtype)),
                              jax.sharding.PartitionSpec())
         if verbose or log_fn is not None:
             # per-epoch host callbacks force a device sync per epoch
             history = []
-            for epoch in range(epochs):
+            for epoch in range(start_epoch, start_epoch + epochs):
                 state, m = self.run_epoch(
                     state, data, jax.random.fold_in(key, epoch))
                 m_host = jax.tree.map(float, jax.device_get(m))
                 history.append(m_host)
                 if verbose:
-                    print(f'epoch {epoch + 1}/{epochs} '
+                    print(f'epoch {epoch + 1}/{start_epoch + epochs} '
                           f'loss={m_host.loss:.6f} mse={m_host.mse:.6f} '
                           f'mae={m_host.mae:.6f} ppl={m_host.perplexity:.1f}')
                 if log_fn is not None:
@@ -360,7 +368,7 @@ class Trainer:
             return state, history
         # silent path: epoch-block scans (one execution per <=16 epochs),
         # bit-identical keys to the per-epoch path; single metrics fetch
-        state, ms = self.run_epochs(state, data, key, 0, epochs)
+        state, ms = self.run_epochs(state, data, key, start_epoch, epochs)
         ms = jax.device_get(ms)
         history = [EpochMetrics(*(float(f[i]) for f in ms))
                    for i in range(epochs)]

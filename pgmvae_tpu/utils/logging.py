@@ -22,7 +22,8 @@ def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
                    note='', *, quantizer=None, units=None,
                    fan_mode='tf_stacked', dead_code_threshold=0.0,
                    zero_debias=True, precision='default',
-                   activation='selu', l2_reg=0.0) -> str:
+                   activation='selu', l2_reg=0.0,
+                   select_on_valid=0) -> str:
     """Hyperparameter-encoding run id, field-for-field the reference's
     format (reference run.py:38).
 
@@ -50,6 +51,8 @@ def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
         ext.append(f'act-{activation}')
     if l2_reg:
         ext.append(f'l2-{l2_reg}')
+    if select_on_valid:
+        ext.append(f'sov-{select_on_valid}')
     return base + ('_' + '_'.join(ext) if ext else '')
 
 

@@ -100,6 +100,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--no-zero-debias', action='store_true',
                    help='plain moving average instead of the TF zero-debiased '
                         'default')
+    p.add_argument('--select-on-valid', type=int, default=0, metavar='N',
+                   help='evaluate valid PLL every N epochs and keep the '
+                        'best snapshot instead of the final epoch '
+                        '(anti-overfit; 0 = reference behavior)')
     p.add_argument('--cmll', action='store_true',
                    help='also evaluate CMLL via Gibbs sampling '
                         '(num_smp=3000, burn_in=150, p1=n_var//10, as in '
@@ -160,6 +164,7 @@ def main(argv=None) -> int:
         activation=args.activation, l2_reg=args.l2,
         vq_impl=args.vq_impl,
         precision=args.precision, cmll=args.cmll,
+        select_on_valid=args.select_on_valid,
         checkpoint=args.checkpoint, resume=args.resume,
         data_dir=args.data_dir, verbose=args.verbose,
         log_dir=os.path.join(os.curdir, 'logs', 'tuning'))

@@ -86,7 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--result-file', type=str, default='result.txt')
     p.add_argument('--mesh-data', type=int, default=1)
     p.add_argument('--mesh-model', type=int, default=1)
-    p.add_argument('--vq-impl', choices=['xla', 'pallas'], default='xla')
+    p.add_argument('--vq-impl', choices=['xla', 'pallas', 'auto'],
+                   default='auto')
+    p.add_argument('--select-on-valid', type=int, default=0, metavar='N',
+                   help='keep the best-valid-PLL snapshot, evaluated every '
+                        'N epochs (0 = final epoch, reference behavior)')
     p.add_argument('--precision', choices=['default', 'float32', 'highest'],
                    default='default')
     p.add_argument('--data-dir', type=str, default=None)
@@ -127,6 +131,7 @@ def main(argv=None) -> int:
                          zero_debias=not args.no_zero_debias,
                          mesh_data=args.mesh_data, mesh_model=args.mesh_model,
                          vq_impl=args.vq_impl, precision=args.precision,
+                         select_on_valid=args.select_on_valid,
                          data_dir=args.data_dir, verbose=args.verbose)
         for name, k, d, b, r, c, g, s, qz, un, fm, dcr, act, l2
         in itertools.product(

@@ -269,3 +269,43 @@ def test_run_epochs_block_decomposition():
     ms = jax.device_get(ms)
     assert ms.loss.shape == (11,)
     assert np.all(np.isfinite(ms.loss))
+
+
+def test_fit_start_epoch_chunks_bitwise_match_single_fit():
+    """fit(epochs=a) then fit(epochs=b, start_epoch=a) must reproduce one
+    fit(epochs=a+b) exactly (same fold_in(key, e) schedule) — the contract
+    the driver's select-on-valid block training relies on."""
+    y = _data(41, seed=5)
+    key = jax.random.PRNGKey(11)
+
+    tr = Trainer(CFG, 0.01, 8, 41)
+    st_one = tr.init_state(jax.random.PRNGKey(3))
+    st_one, _ = tr.fit(st_one, y, epochs=6, key=key)
+
+    st_chunk = tr.init_state(jax.random.PRNGKey(3))
+    st_chunk, _ = tr.fit(st_chunk, y, epochs=2, key=key)
+    st_chunk, _ = tr.fit(st_chunk, y, epochs=3, key=key, start_epoch=2)
+    st_chunk, _ = tr.fit(st_chunk, y, epochs=1, key=key, start_epoch=5)
+
+    for a, b in zip(jax.tree.leaves((st_one.params, st_one.ema)),
+                    jax.tree.leaves((st_chunk.params, st_chunk.ema))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_driver_select_on_valid_picks_best_epoch():
+    """select_on_valid keeps the snapshot with the best valid PLL: the
+    reported pll_valid must be the max over the periodic evals, and
+    best_epoch must identify it."""
+    from pgmvae_tpu.driver import ExperimentConfig, run_experiment
+
+    base = dict(name='nltcs', embedding=20, dim=6, batch=256, epoch=6,
+                rate=0.01, ema=True, seed=0, note='seltest')
+    plain = run_experiment(ExperimentConfig(**base))
+    sel = run_experiment(ExperimentConfig(**base, select_on_valid=2))
+
+    assert 'best_epoch' not in plain
+    assert sel['best_epoch'] in (2, 4, 6)
+    # the selected snapshot can only improve on (or match) the final epoch
+    assert sel['pll_valid'] >= plain['pll_valid'] - 1e-9
+    # identifier records the knob (no joblog aliasing)
+    assert 'sov-2' in sel['identifier'] and 'sov' not in plain['identifier']
