@@ -66,6 +66,7 @@ class ExperimentConfig:
 def run_experiment(exp: ExperimentConfig) -> dict:
     """Stage-1 train + stage-2 CPT/PLL (+ optional CMLL / checkpoint)."""
     import jax
+    import jax.numpy as jnp
 
     from pgmvae_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -157,7 +158,14 @@ def run_experiment(exp: ExperimentConfig) -> dict:
             if exp.verbose:
                 print(f'select-on-valid: epoch {done} pll-valid {pv:.5f}')
             if pv > best_pll:
-                best_pll, best_state, best_epoch = pv, state, done
+                # deep-copy the snapshot: the epoch programs donate their
+                # input state buffers (train.py donate_argnums), so the
+                # NEXT fit call invalidates `state`'s arrays on TPU --
+                # keeping a bare reference fails later with
+                # INVALID_ARGUMENT on any read of the donated buffers
+                snap = jax.tree.map(jnp.copy, state)
+                jax.block_until_ready(snap)
+                best_pll, best_state, best_epoch = pv, snap, done
         state = best_state
     else:
         state, _ = trainer.fit(state, y_train, exp.epoch, key,
@@ -176,12 +184,15 @@ def run_experiment(exp: ExperimentConfig) -> dict:
     eval_wall = time.time() - t1
 
     cmll_test = 1  # reference hardcodes 1 when CMLL is off (run.py:77)
+    cmll_wall = None
     if exp.cmll:
         y_test = load_split(exp.name, 'test', exp.data_dir)
+        t2 = time.time()
         cmll_test = conditional_marginal_log_likelihood(
             state.params, codebook, cfg, dist, y_test,
             p1=max(info.n_var // 10, 1), num_smp=3000, burn_in=150,
             key=jax.random.PRNGKey(exp.seed), verbose=exp.verbose)
+        cmll_wall = round(time.time() - t2, 3)
 
     if exp.checkpoint:
         ckpt.save(exp.checkpoint, cfg, state, dist,
@@ -198,6 +209,8 @@ def run_experiment(exp: ExperimentConfig) -> dict:
     }
     if exp.select_on_valid > 0:
         result['best_epoch'] = best_epoch
+    if cmll_wall is not None:
+        result['cmll_wall'] = cmll_wall
     if logger:
         logger.log_final(**result)
         logger.close()

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""CMLL campaign (VERDICT round 1, weak #7 / next-round #7): train each
+locally-runnable dataset at its tuned-best hyperparameters (RESULTS.md) and
+evaluate CMLL via blockwise Gibbs exactly as the reference would have
+(p1 = n_var//10, num_smp=3000, burn_in=150 — reference `run.py:74`,
+`core/model.py:110-148`), recording the Gibbs wall-clock separately.
+
+Appends JSON lines to logs/cmll.jsonl. Resumable: datasets already present
+in the log are skipped (pass --force to redo).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pgmvae_tpu.driver import ExperimentConfig, run_experiment  # noqa: E402
+
+# Tuned-best cells from RESULTS.md (round-1 campaign; dcr threshold 1.0 for
+# the cells whose winning note carried -dcr).
+CELLS = {
+    'nltcs': dict(embedding=100, dim=10, batch=128, epoch=100, rate=0.003),
+    'audio': dict(embedding=200, dim=10, batch=100, epoch=150, rate=0.001,
+                  seed=4),
+    'jester': dict(embedding=100, dim=30, batch=100, epoch=150, rate=0.001),
+    'netflix': dict(embedding=500, dim=10, batch=128, epoch=300, rate=0.001,
+                    seed=2, dead_code_threshold=1.0),
+    'accidents': dict(embedding=500, dim=30, batch=128, epoch=200,
+                      rate=0.003, dead_code_threshold=1.0),
+    'plants': dict(embedding=500, dim=30, batch=256, epoch=150, rate=0.003,
+                   dead_code_threshold=1.0),
+    'pumsb_star': dict(embedding=200, dim=30, batch=64, epoch=200,
+                       rate=0.001, dead_code_threshold=1.0),
+    'dna': dict(embedding=200, dim=10, batch=100, epoch=300, rate=0.001,
+                cost=0.1, seed=4, fan_mode='per_network'),
+    'bbc': dict(embedding=50, dim=20, batch=12, epoch=300, rate=0.001,
+                cost=0.05, decay=0.9, seed=2, dead_code_threshold=1.0),
+    '50-17-8': dict(embedding=500, dim=30, batch=64, epoch=300, rate=0.001,
+                    dead_code_threshold=1.0),
+    'bn2o-30-20-200-2a': dict(embedding=50, dim=30, batch=128, epoch=100,
+                              rate=0.003),
+    'students_03_02-0000': dict(embedding=500, dim=30, batch=32, epoch=600,
+                                rate=0.001, dead_code_threshold=1.0),
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--only', type=str, default=None,
+                    help='comma-separated dataset subset')
+    ap.add_argument('--force', action='store_true')
+    ap.add_argument('--out', default='logs/cmll.jsonl')
+    args = ap.parse_args()
+
+    done = set()
+    if os.path.exists(args.out) and not args.force:
+        with open(args.out) as f:
+            for line in f:
+                try:
+                    done.add(json.loads(line)['name'])
+                except (json.JSONDecodeError, KeyError):
+                    pass
+
+    names = (args.only.split(',') if args.only else list(CELLS))
+    for name in names:
+        if name in done:
+            print(f'{name}: already done, skipping', file=sys.stderr)
+            continue
+        kw = dict(CELLS[name])
+        kw.setdefault('seed', 1)
+        kw.setdefault('cost', 0.25)
+        kw.setdefault('decay', 0.99)
+        exp = ExperimentConfig(name=name, ema=True, note='cmll-r2',
+                               cmll=True, **kw)
+        t0 = time.time()
+        try:
+            res = run_experiment(exp)
+            rec = {'name': name, 'ok': True, **res,
+                   'wall': round(time.time() - t0, 1)}
+        except Exception as e:  # noqa: BLE001 — record and continue
+            rec = {'name': name, 'ok': False,
+                   'error': f'{type(e).__name__}: {e}'[:400],
+                   'wall': round(time.time() - t0, 1)}
+        with open(args.out, 'a') as f:
+            f.write(json.dumps(rec) + '\n')
+        print(json.dumps(rec), flush=True)
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
