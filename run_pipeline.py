@@ -26,9 +26,12 @@ so joblog dedup can never collide two semantically distinct cells.
 from __future__ import annotations
 
 import argparse
+import dataclasses
+import gc
 import itertools
 import json
 import os
+import subprocess
 import sys
 import time
 import traceback
@@ -81,6 +84,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help='grid over L2 kernel penalties')
     p.add_argument('--verbose', '-v', action='store_true')
     p.add_argument('--joblog', type=str, default='logs/sweep-joblog.jsonl')
+    p.add_argument('--isolate', action='store_true',
+                   help='run each cell in a fresh subprocess (the GNU-'
+                        'parallel isolation of reference batch-job.sh:43: '
+                        'no leaked device memory, compiled programs, or '
+                        'wedged-backend state between cells)')
+    p.add_argument('--cell-timeout', type=float, default=3600.0,
+                   help='per-cell wall-clock limit with --isolate')
     p.add_argument('--retry-failed', action='store_true',
                    help='re-run cells whose last outcome was a failure')
     p.add_argument('--result-file', type=str, default='result.txt')
@@ -98,6 +108,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help='-1 = CPU; otherwise the default accelerator '
                         '(same semantics as run.py)')
     return p
+
+
+def _run_isolated(cell, timeout: float) -> dict:
+    """Run one cell in a fresh subprocess (pgmvae_tpu/_cell_runner.py);
+    returns its result dict or raises on failure/timeout."""
+    kw = dataclasses.asdict(cell)
+    kw['_device'] = getattr(_run_isolated, 'device', 0)
+    payload = json.dumps(kw)
+    proc = subprocess.run(
+        [sys.executable, '-m', 'pgmvae_tpu._cell_runner'],
+        input=payload, capture_output=True, text=True, timeout=timeout,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    if proc.returncode != 0:
+        tail = (proc.stderr or proc.stdout or '')[-1500:]
+        raise RuntimeError(f'cell subprocess failed '
+                           f'(rc={proc.returncode}): {tail}')
+    return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
 def load_joblog(path: str) -> dict:
@@ -119,6 +146,7 @@ def main(argv=None) -> int:
     if args.device == -1:
         import jax
         jax.config.update('jax_platforms', 'cpu')
+    _run_isolated.device = args.device      # forwarded to cell subprocesses
     from pgmvae_tpu.driver import ExperimentConfig, run_experiment
     from pgmvae_tpu.utils import append_result
 
@@ -160,7 +188,8 @@ def main(argv=None) -> int:
             t0 = time.time()
             rec = {'identifier': cell.identifier, 'ts': int(t0)}
             try:
-                res = run_experiment(cell)
+                res = (_run_isolated(cell, args.cell_timeout)
+                       if args.isolate else run_experiment(cell))
                 rec.update(ok=True, **{k: v for k, v in res.items()
                                        if k != 'identifier'})
                 append_result(res['identifier'], res['pll_train'],
@@ -180,6 +209,8 @@ def main(argv=None) -> int:
                       f"FAILED: {e}", file=sys.stderr)
             rec['wall'] = round(time.time() - t0, 3)
             log.write(json.dumps(rec) + '\n')
+            gc.collect()        # drop the cell's device buffers before the
+            #                     next cell initializes (in-process mode)
     print(f'sweep finished: {failures} cells failed', file=sys.stderr)
     return 1 if failures else 0
 
