@@ -74,3 +74,18 @@ def test_sweep_quantizer_grid(tmp_path):
     assert len(ids) == 3 and len(set(ids)) == 3
     # --ema not passed -> default quantizer is 'vq'; the others are marked
     assert sum('qz-' in i for i in ids) == 2
+
+
+def test_sweep_isolate_subprocess_cells(tmp_path):
+    """--isolate runs each cell in a fresh subprocess (reference
+    batch-job.sh GNU-parallel isolation) with --device forwarded; results
+    land in the joblog exactly as in-process cells do."""
+    joblog = str(tmp_path / 'joblog.jsonl')
+    out = _run(['-n', 'nltcs', '-k', '8', '-d', '4', '-b', '512', '-e', '1',
+                '-r', '0.01', '-m', '-s', '0,1', '--isolate',
+                '--note', 'iso', '--joblog', joblog,
+                '--result-file', str(tmp_path / 'result.txt')])
+    assert out.returncode == 0, out.stderr[-800:]
+    recs = [json.loads(l) for l in open(joblog)]
+    assert len(recs) == 2 and all(r['ok'] for r in recs)
+    assert all(-8 < r['pll_test'] < -4 for r in recs)
