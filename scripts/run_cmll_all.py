@@ -66,7 +66,12 @@ def main() -> int:
                 except (json.JSONDecodeError, KeyError):
                     pass
 
-    names = (args.only.split(',') if args.only else list(CELLS))
+    # cheapest Gibbs chains first (steps = num_smp * n_var//10; bbc's
+    # 315k-step chain goes last so a timeout loses the least coverage)
+    order = ['nltcs', 'bn2o-30-20-200-2a', 'plants', 'jester', 'audio',
+             'netflix', 'accidents', 'pumsb_star', 'dna', '50-17-8',
+             'students_03_02-0000', 'bbc']
+    names = (args.only.split(',') if args.only else order)
     for name in names:
         if name in done:
             print(f'{name}: already done, skipping', file=sys.stderr)
