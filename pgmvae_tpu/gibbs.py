@@ -58,60 +58,46 @@ def get_probability(params, codebook, cfg, dist, y, fts):
     return jnp.take_along_axis(prb, codes, axis=1)
 
 
-@partial(jax.jit,
-         static_argnames=('cfg', 'p1', 'num_smp', 'burn_in', 'verbose'))
-def _cmll_impl(params, codebook, cfg: vqvae.VqVaeConfig, dist, x,
-               p1: int, num_smp: int, burn_in: int, key,
-               verbose: bool = False):
-    batch, n = x.shape
-    blocks = math.ceil(n / p1)
+_SEGMENT_STEPS = 8192
+# Bound on Gibbs steps per device execution. The chain used to run as ONE
+# fori_loop over num_smp*p1 steps; at 50-17-8 scale (84k steps) that single
+# execution exceeded the remote TPU worker's watchdog and crashed it
+# ("TPU worker process crashed or restarted"). Segmenting costs one host
+# round-trip per 8192 steps (~ms) and compiles at most two programs (full
+# segment + remainder).
+
+
+@partial(jax.jit, static_argnames=('cfg', 'p1', 'seg', 'burn_in'))
+def _cmll_segment(params, codebook, cfg: vqvae.VqVaeConfig, dist,
+                  state, cnt, i0, p1: int, seg: int, burn_in: int, key):
+    """Advance the blockwise Gibbs chain by `seg` steps starting at global
+    step i0 (a device scalar, so all full segments share one program).
+    Step math is identical to the reference sweep (core/model.py:129-143);
+    fold_in(key, i) keys make trajectories independent of segmentation."""
+    batch, n = cnt.shape
+    blocks = state.shape[0]
     vol = np.concatenate([np.full(blocks - 1, p1), [n - p1 * (blocks - 1)]])
     marker = np.arange(blocks) * p1
     vol_j, marker_j = jnp.asarray(vol), jnp.asarray(marker)
     bid = jnp.arange(blocks)
-    total = num_smp * p1
-    report_every = max(total // 20, 1)
 
-    def step(i, carry):
-        state, cnt = carry                       # [blocks,B,n], [B,n]
-        if verbose:
-            # sampling progress, mirroring the reference's tf.print under
-            # `verbose` (reference core/model.py:141-142)
-            jax.lax.cond(
-                jnp.mod(i, report_every) == 0,
-                lambda: jax.debug.print(
-                    'cmll sampling step {i}/{t}', i=i, t=total),
-                lambda: None)
+    def step(j, carry):
+        stt, cnt = carry                         # [blocks,B,n_pad], [B,n]
+        i = i0 + j
         y = marker_j + jnp.mod(i, vol_j)         # variable per block
         # padded design: the chain state goes in whole; each block's network
-        # masks its own variable internally — no per-block gather
-        prb = get_probability(params, codebook, cfg, dist, state, y)
+        # masks its own variable internally -- no per-block gather
+        prb = get_probability(params, codebook, cfg, dist, stt, y)
         u = jax.random.uniform(jax.random.fold_in(key, i), (blocks, batch))
-        gibbs = (u < prb).astype(state.dtype)
-        state = state.at[bid[:, None], jnp.arange(batch)[None, :],
-                         y[:, None]].set(gibbs)
+        gibbs = (u < prb).astype(stt.dtype)
+        stt = stt.at[bid[:, None], jnp.arange(batch)[None, :],
+                     y[:, None]].set(gibbs)
         # count post-burn-in occurrences (strict >, ref core/model.py:139)
         flag = (i > burn_in * p1).astype(cnt.dtype)
         cnt = cnt.at[:, y].add(gibbs.T * flag)
-        return state, cnt
+        return stt, cnt
 
-    state0 = jnp.broadcast_to(x, (blocks, batch, n)).astype(jnp.float32)
-    if cfg.n_var > n:                       # padded variable axis: append
-        state0 = jnp.concatenate(           # inert zero columns for encode
-            [state0, jnp.zeros((blocks, batch, cfg.n_var - n),
-                               state0.dtype)], axis=-1)
-    cnt0 = jnp.zeros((batch, n), jnp.float32)
-    _, cnt = jax.lax.fori_loop(0, num_smp * p1, step, (state0, cnt0))
-
-    valid = float(num_smp - burn_in)
-    vol_last = int(vol[-1])
-    valid_end = float(int(valid * p1) // vol_last)  # reference's floor-div
-    denom = jnp.concatenate([jnp.full((1, n - vol_last), valid),
-                             jnp.full((1, vol_last), valid_end)], axis=1)
-    m = cnt / denom
-    xf = x.astype(jnp.float32)
-    return jnp.sum(xf * jnp.log(m + LOG_EPS)
-                   + (1.0 - xf) * jnp.log(1.0 - m + LOG_EPS)) / batch
+    return jax.lax.fori_loop(0, seg, step, (state, cnt))
 
 
 def conditional_marginal_log_likelihood(params, codebook,
@@ -123,7 +109,38 @@ def conditional_marginal_log_likelihood(params, codebook,
     `verbose` prints sampling progress (reference core/model.py:141-142)."""
     if key is None:
         key = jax.random.PRNGKey(0)
+    p1, num_smp, burn_in = int(p1), int(num_smp), int(burn_in)
     dist32 = jnp.asarray(np.asarray(dist, np.float32))
-    return float(_cmll_impl(params, codebook, cfg, dist32,
-                            jnp.asarray(x), int(p1), int(num_smp),
-                            int(burn_in), key, verbose=bool(verbose)))
+    x = jnp.asarray(x)
+    batch, n = x.shape
+    blocks = math.ceil(n / p1)
+
+    state = jnp.broadcast_to(x, (blocks, batch, n)).astype(jnp.float32)
+    if cfg.n_var > n:                       # padded variable axis: append
+        state = jnp.concatenate(            # inert zero columns for encode
+            [state, jnp.zeros((blocks, batch, cfg.n_var - n),
+                              state.dtype)], axis=-1)
+    cnt = jnp.zeros((batch, n), jnp.float32)
+
+    total, done = num_smp * p1, 0
+    while done < total:
+        seg = min(_SEGMENT_STEPS, total - done)
+        state, cnt = _cmll_segment(params, codebook, cfg, dist32, state,
+                                   cnt, jnp.asarray(done, jnp.int32),
+                                   p1, seg, burn_in, key)
+        jax.block_until_ready(cnt)          # bound each remote execution
+        done += seg
+        if verbose:
+            # sampling progress, mirroring the reference's print under
+            # `verbose` (reference core/model.py:141-142)
+            print(f'cmll sampling step {done}/{total}', flush=True)
+
+    vol_last = n - p1 * (blocks - 1)
+    valid = float(num_smp - burn_in)
+    valid_end = float(int(valid * p1) // vol_last)  # reference's floor-div
+    denom = jnp.concatenate([jnp.full((1, n - vol_last), valid),
+                             jnp.full((1, vol_last), valid_end)], axis=1)
+    m = cnt / denom
+    xf = x.astype(jnp.float32)
+    return float(jnp.sum(xf * jnp.log(m + LOG_EPS)
+                         + (1.0 - xf) * jnp.log(1.0 - m + LOG_EPS)) / batch)

@@ -3,11 +3,14 @@
 `core/model.py:151-170`) against TF 2.21 on this host, for the wall-clock
 comparison VERDICT r1 #7 asks for.
 
-The harness as shipped CRASHES: it builds `VqVAE(units=[70, 50, 30], ...)`
-but the constructor indexes `units[3]` (`core/model.py:19-24`), so the
-reference's only executable perf check dies with IndexError before timing
-anything. We reproduce it faithfully except `units=[70, 50, 30, 20]` (the
-minimal fix), same n=150 / K=15 / D=20 / 5000 samples / 2 training epochs /
+The harness as shipped CRASHES twice: (1) it builds
+`VqVAE(units=[70, 50, 30], ...)` but the constructor indexes `units[3]`
+(`core/model.py:19-24`) -> IndexError; (2) it passes `nvar=num_vars - 1`
+(`core/model.py:161`), so the decoder's final width is `nvar-1 = 148`
+against 149-wide leave-one-out views -> shape error in the MSE (the same
+`nvar` inconsistency as `run_pipeline.py:34`; the canonical `run.py:59`
+passes `nvar=n_var`). We reproduce it faithfully except the two minimal
+fixes `units=[70, 50, 30, 20]` and `nvar=num_vars`, same n=150 / K=15 / D=20 / 5000 samples / 2 training epochs /
 random CPT / p1=n//12, num_smp=1000, burn_in=100, timeit number=1.
 
 Prints one JSON line with the timed seconds.
@@ -37,7 +40,7 @@ def main() -> int:
                                      dtype=tf.int32), tf.float32)
     train_x = tf.stack([tf.reshape(tf.tile(x, [num_vars - 1]),
                                    [num_vars, -1]) for x in data])
-    model = VqVAE(units=[70, 50, 30, 20], nvar=num_vars - 1, dim=D, k=K,
+    model = VqVAE(units=[70, 50, 30, 20], nvar=num_vars, dim=D, k=K,
                   cost=0.25, decay=0.99, ema=True)
     model.compile(optimizer=adam.Adam(learning_rate=0.001), loss='mse',
                   metrics=['mae'])
@@ -54,8 +57,8 @@ def main() -> int:
     cmll_wall = time.time() - t0
     print(json.dumps({
         'what': 'reference CMLL harness (core/model.py:151-170), TF 2.21 '
-                'CPU, units fixed [70,50,30,20] (shipped [70,50,30] '
-                'IndexErrors)',
+                'CPU, two shipped crashes fixed (units [70,50,30,20]; '
+                'nvar=num_vars)',
         'n_vars': num_vars, 'K': K, 'D': D, 'n_test': n_test,
         'p1': num_vars // 12, 'num_smp': 1000, 'burn_in': 100,
         'cmll': round(cmll, 5), 'cmll_wall_s': round(cmll_wall, 1),
