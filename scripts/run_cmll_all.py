@@ -38,8 +38,12 @@ CELLS = {
                        rate=0.001, dead_code_threshold=1.0),
     'dna': dict(embedding=200, dim=10, batch=100, epoch=300, rate=0.001,
                 cost=0.1, seed=4, fan_mode='per_network'),
-    'bbc': dict(embedding=50, dim=20, batch=12, epoch=300, rate=0.001,
-                cost=0.05, decay=0.9, seed=2, dead_code_threshold=1.0),
+    # round-2 winning recipe (RESULTS.md): b25 keeps each 64-epoch scan
+    # block under the remote worker's per-execution watchdog (the round-1
+    # b12 recipe packs ~9k steps/execution and crashes the worker)
+    'bbc': dict(embedding=50, dim=20, batch=25, epoch=600, rate=0.003,
+                cost=0.05, decay=0.9, seed=3, dead_code_threshold=0.25,
+                fan_mode='per_network', select_on_valid=50),
     '50-17-8': dict(embedding=500, dim=30, batch=64, epoch=300, rate=0.001,
                     dead_code_threshold=1.0),
     'bn2o-30-20-200-2a': dict(embedding=50, dim=30, batch=128, epoch=100,
