@@ -252,6 +252,13 @@ class Trainer:
     # Epoch-block sizes are powers of two (largest 64) so a sweep compiles at
     # most 7 distinct block programs regardless of --epoch values.
     MAX_EPOCH_BLOCK = 64
+    # Cap on train steps packed into ONE device execution: the remote TPU
+    # worker kills (and crashes on) executions past its watchdog — observed
+    # at bbc scale, where a 64-epoch block at 140 steps/epoch (~9k steps)
+    # dies while ~4.3k-step blocks run clean. 4096 keeps every block safely
+    # under it; small models are unaffected (their whole 64-epoch block is
+    # far below the cap).
+    MAX_STEPS_PER_EXECUTION = 4096
 
     def run_epochs(self, state: TrainState, data: jax.Array, key: jax.Array,
                    start_epoch: int, num_epochs: int):
@@ -259,9 +266,12 @@ class Trainer:
         power-of-two scan blocks; returns (state, EpochMetrics of
         [num_epochs] device arrays)."""
         outs = []
+        cap = max(1, self.MAX_STEPS_PER_EXECUTION // self.steps_per_epoch)
+        cap = 1 << (cap.bit_length() - 1)           # round down to pow2
         e, rem = start_epoch, num_epochs
         while rem > 0:
-            blk = min(self.MAX_EPOCH_BLOCK, 1 << (rem.bit_length() - 1))
+            blk = min(self.MAX_EPOCH_BLOCK, cap,
+                      1 << (rem.bit_length() - 1))
             state, ms = self._run_epochs(state, data, key,
                                          jnp.asarray(e, jnp.int32), blk)
             outs.append(ms)
