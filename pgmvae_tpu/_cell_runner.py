@@ -16,16 +16,26 @@ import sys
 
 
 def main() -> int:
-    from pgmvae_tpu.driver import ExperimentConfig, run_experiment
+    from pgmvae_tpu.driver import (ExperimentConfig, run_experiment,
+                                   run_packed_experiments)
 
     kw = json.load(sys.stdin)
     device = kw.pop('_device', 0)
     if device == -1:        # CPU pin — mirrors run.py's --device -1 (the
         import jax          # platform env var is overridden by the TPU
         jax.config.update('jax_platforms', 'cpu')   # plugin in this image)
-    if kw.get('units'):
-        kw['units'] = tuple(kw['units'])
-    res = run_experiment(ExperimentConfig(**kw))
+    packed = kw.pop('_packed', None)
+    if packed is not None:  # --pack-seeds cells: one vmapped device program
+        cells = []
+        for c in packed:
+            if c.get('units'):
+                c['units'] = tuple(c['units'])
+            cells.append(ExperimentConfig(**c))
+        res = run_packed_experiments(cells)
+    else:
+        if kw.get('units'):
+            kw['units'] = tuple(kw['units'])
+        res = run_experiment(ExperimentConfig(**kw))
     sys.stdout.flush()
     print(json.dumps(res), flush=True)
     return 0

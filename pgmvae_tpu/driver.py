@@ -63,6 +63,121 @@ class ExperimentConfig:
                               select_on_valid=self.select_on_valid)
 
 
+def run_packed_experiments(exps) -> list:
+    """Run S cells that differ ONLY in seed as one vmapped device program
+    (run_pipeline.py --pack-seeds). Per-seed trajectories are identical to
+    unpacked `run_experiment` runs (tests/test_packed.py); stage 2 and the
+    result dicts are computed per seed. Returns one result dict per cell, in
+    input order."""
+    import dataclasses as _dc
+    import jax
+    import jax.numpy as jnp
+
+    from pgmvae_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from pgmvae_tpu import REGISTRY
+    from pgmvae_tpu.data import load_split
+    from pgmvae_tpu.models import VqVaeConfig
+    from pgmvae_tpu.stage2 import Stage2
+    from pgmvae_tpu.train import Trainer
+
+    exps = list(exps)
+    if not exps:
+        return []
+    base = exps[0]
+    for e in exps[1:]:
+        diff = [f.name for f in _dc.fields(base)
+                if f.name != 'seed'
+                and getattr(e, f.name) != getattr(base, f.name)]
+        if diff:
+            raise ValueError(f'packed cells must differ only in seed; '
+                             f'{e.identifier} differs in {diff}')
+    if base.mesh_data * base.mesh_model > 1:
+        raise ValueError('--pack-seeds does not compose with a device mesh')
+    if base.resume or base.checkpoint or base.cmll:
+        raise ValueError('--pack-seeds does not support resume/checkpoint/'
+                         'cmll cells; run those unpacked')
+    if len(exps) == 1:
+        return [run_experiment(base)]
+
+    info = REGISTRY[base.name]
+    quantizer = base.quantizer or ('ema' if base.ema else 'vq')
+    units = tuple(base.units) if base.units else info.encoder_units(base.dim)
+    cfg = VqVaeConfig(n_var=info.n_var, units=units, dim=base.dim,
+                      num_codes=base.embedding, cost=base.cost,
+                      decay=base.decay, quantizer=quantizer,
+                      zero_debias=base.zero_debias,
+                      dead_code_threshold=base.dead_code_threshold,
+                      fan_mode=base.fan_mode, vq_impl=base.vq_impl,
+                      matmul_precision=base.precision,
+                      activation=base.activation, l2_reg=base.l2_reg)
+
+    y_train = load_split(base.name, 'train', base.data_dir)
+    trainer = Trainer(cfg, base.rate, base.batch, len(y_train))
+    s2 = Stage2(cfg)
+    keys = jnp.stack([jax.random.PRNGKey(e.seed) for e in exps])
+    states = trainer.init_states_packed(keys)
+
+    n_seeds = len(exps)
+    best = [(-float('inf'), None, base.epoch)] * n_seeds  # (pll, state, ep)
+    t0 = time.time()
+    if base.select_on_valid > 0:
+        y_valid = load_split(base.name, 'valid', base.data_dir)
+        done = 0
+        while done < base.epoch:
+            blk = min(base.select_on_valid, base.epoch - done)
+            states, _ = trainer.fit_packed(states, y_train, blk, keys,
+                                           start_epoch=done)
+            done += blk
+            for s in range(n_seeds):
+                snap = trainer.unpack_seed(states, s)
+                cb = trainer.codebook(snap)
+                d_sel = s2.cpt(snap.params, cb, y_train)
+                pv = s2.pseudo_log_likelihood(snap.params, cb, y_valid, d_sel)
+                if base.verbose:
+                    print(f'select-on-valid[{exps[s].seed}]: epoch {done} '
+                          f'pll-valid {pv:.5f}')
+                if pv > best[s][0]:
+                    best[s] = (pv, snap, done)
+        seed_states = [b[1] if b[1] is not None
+                       else trainer.unpack_seed(states, s)
+                       for s, b in enumerate(best)]
+    else:
+        states, _ = trainer.fit_packed(states, y_train, base.epoch, keys)
+        seed_states = [trainer.unpack_seed(states, s)
+                       for s in range(n_seeds)]
+    train_wall = time.time() - t0
+
+    y_valid = load_split(base.name, 'valid', base.data_dir)
+    y_test = load_split(base.name, 'test', base.data_dir)
+    results = []
+    t1 = time.time()
+    for s, exp in enumerate(exps):
+        st = seed_states[s]
+        cb = trainer.codebook(st)
+        dist = s2.cpt(st.params, cb, y_train)
+        pll = {split: s2.pseudo_log_likelihood(st.params, cb, y, dist)
+               for split, y in (('train', y_train), ('valid', y_valid),
+                                ('test', y_test))}
+        res = {
+            'identifier': exp.identifier,
+            'pll_train': pll['train'], 'pll_valid': pll['valid'],
+            'pll_test': pll['test'], 'cmll_test': 1,
+            'train_wall': round(train_wall, 3),
+            'eval_wall': round(time.time() - t1, 3),
+            'samples_per_sec': round(
+                n_seeds * exp.epoch * len(y_train) / max(train_wall, 1e-9),
+                1),                      # aggregate across packed seeds
+            'paper_pll': -info.paper_pll,
+            'packed_seeds': n_seeds,
+        }
+        if base.select_on_valid > 0:
+            res['best_epoch'] = best[s][2]
+        results.append(res)
+    return results
+
+
 def run_experiment(exp: ExperimentConfig) -> dict:
     """Stage-1 train + stage-2 CPT/PLL (+ optional CMLL / checkpoint)."""
     import jax
@@ -166,7 +281,14 @@ def run_experiment(exp: ExperimentConfig) -> dict:
                 snap = jax.tree.map(jnp.copy, state)
                 jax.block_until_ready(snap)
                 best_pll, best_state, best_epoch = pv, snap, done
-        state = best_state
+        if best_state is None:
+            # every periodic valid PLL was NaN (diverged cell) or epoch == 0;
+            # fall back to the final state instead of crashing downstream
+            print('select-on-valid: no finite valid PLL seen; '
+                  'keeping the final state', flush=True)
+            best_epoch = exp.epoch
+        else:
+            state = best_state
     else:
         state, _ = trainer.fit(state, y_train, exp.epoch, key,
                                verbose=exp.verbose, log_fn=log_fn)

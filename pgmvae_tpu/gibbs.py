@@ -30,6 +30,7 @@ so CMLL values are comparable.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -58,13 +59,14 @@ def get_probability(params, codebook, cfg, dist, y, fts):
     return jnp.take_along_axis(prb, codes, axis=1)
 
 
-_SEGMENT_STEPS = 8192
+_SEGMENT_STEPS = int(os.environ.get('PGMVAE_GIBBS_SEGMENT_STEPS', 8192))
 # Bound on Gibbs steps per device execution. The chain used to run as ONE
 # fori_loop over num_smp*p1 steps; at 50-17-8 scale (84k steps) that single
 # execution exceeded the remote TPU worker's watchdog and crashed it
 # ("TPU worker process crashed or restarted"). Segmenting costs one host
 # round-trip per 8192 steps (~ms) and compiles at most two programs (full
-# segment + remainder).
+# segment + remainder). Deployments without the watchdog can raise it via
+# $PGMVAE_GIBBS_SEGMENT_STEPS.
 
 
 @partial(jax.jit, static_argnames=('cfg', 'p1', 'seg', 'burn_in'))

@@ -31,6 +31,7 @@ Adam uses eps=1e-7 (the Keras default) rather than optax's 1e-8.
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -103,18 +104,17 @@ class Trainer:
         self._run_epochs = jax.jit(self._epochs_impl, donate_argnums=(0,),
                                    static_argnums=(4,))
         self._run_chunk = jax.jit(self._chunk_impl, donate_argnums=(0,))
+        # packed-seed variant: S independent runs of the SAME epoch program,
+        # vmapped over (state, base_key) with the dataset broadcast — a seed
+        # sweep becomes one device program instead of S serial cells
+        self._run_epochs_packed = jax.jit(
+            jax.vmap(self._epochs_impl, in_axes=(0, None, 0, None, None)),
+            donate_argnums=(0,), static_argnums=(4,))
         self._shard_rule = shard_leading_axis(cfg.n_var)
 
     # ------------------------------------------------------------- state --
     def init_state(self, key: jax.Array) -> TrainState:
-        params, codebook = vqvae.init_model(key, self.cfg)
-        ema = None
-        if self.cfg.quantizer == 'ema':
-            ema = q.ema_init(codebook, self.cfg.zero_debias)
-        elif self.cfg.quantizer == 'vq':
-            params['codebook'] = codebook
-        opt_state = self.optimizer.init(params)
-        state = TrainState(params, ema, opt_state, jnp.zeros((), jnp.int32))
+        state = TrainState(*self._init_state_leaves(key))
         return self.shard_state(state)
 
     def shard_state(self, state: TrainState) -> TrainState:
@@ -257,8 +257,10 @@ class Trainer:
     # at bbc scale, where a 64-epoch block at 140 steps/epoch (~9k steps)
     # dies while ~4.3k-step blocks run clean. 4096 keeps every block safely
     # under it; small models are unaffected (their whole 64-epoch block is
-    # far below the cap).
-    MAX_STEPS_PER_EXECUTION = 4096
+    # far below the cap). Deployments without the watchdog can raise it via
+    # $PGMVAE_MAX_STEPS_PER_EXECUTION.
+    MAX_STEPS_PER_EXECUTION = int(os.environ.get(
+        'PGMVAE_MAX_STEPS_PER_EXECUTION', 4096))
 
     def run_epochs(self, state: TrainState, data: jax.Array, key: jax.Array,
                    start_epoch: int, num_epochs: int):
@@ -279,6 +281,79 @@ class Trainer:
         agg = EpochMetrics(*(jnp.concatenate([getattr(m, f) for m in outs])
                              for f in EpochMetrics._fields))
         return state, agg
+
+    # --------------------------------------------------- packed seeds -----
+    def init_states_packed(self, keys: jax.Array) -> TrainState:
+        """Initialize S independent training states (keys: [S] stacked PRNG
+        keys); every leaf gains a leading seed axis. Packed runs are
+        single-device (a seed sweep is throughput work, not memory work);
+        mesh sharding is not supported here."""
+        if self.mesh.mesh is not None:
+            raise ValueError('packed-seed training does not compose with a '
+                             'device mesh; run packed cells single-device')
+        return jax.vmap(lambda k: TrainState(
+            *self._init_state_leaves(k)))(keys)
+
+    def _init_state_leaves(self, key):
+        params, codebook = vqvae.init_model(key, self.cfg)
+        ema = None
+        if self.cfg.quantizer == 'ema':
+            ema = q.ema_init(codebook, self.cfg.zero_debias)
+        elif self.cfg.quantizer == 'vq':
+            params['codebook'] = codebook
+        opt_state = self.optimizer.init(params)
+        return params, ema, opt_state, jnp.zeros((), jnp.int32)
+
+    def run_epochs_packed(self, states: TrainState, data: jax.Array,
+                          keys: jax.Array, start_epoch: int, num_epochs: int):
+        """Packed analogue of `run_epochs`: S seeds advance together, one
+        scan-block execution at a time. Seed s's trajectory is the SAME
+        sequence of batches and updates it would take unpacked (epoch e uses
+        fold_in(keys[s], e)). Per-execution step cap shrinks by S — a packed
+        step does S times the work against the remote worker's watchdog."""
+        n_seeds = jax.tree.leaves(states)[0].shape[0]
+        outs = []
+        cap = max(1, self.MAX_STEPS_PER_EXECUTION
+                  // (self.steps_per_epoch * n_seeds))
+        cap = 1 << (cap.bit_length() - 1)           # round down to pow2
+        e, rem = start_epoch, num_epochs
+        while rem > 0:
+            blk = min(self.MAX_EPOCH_BLOCK, cap,
+                      1 << (rem.bit_length() - 1))
+            states, ms = self._run_epochs_packed(
+                states, data, keys, jnp.asarray(e, jnp.int32), blk)
+            outs.append(ms)
+            e, rem = e + blk, rem - blk
+        agg = EpochMetrics(*(jnp.concatenate([getattr(m, f) for m in outs],
+                                             axis=1)
+                             for f in EpochMetrics._fields))
+        return states, agg                  # metrics: [S, num_epochs] arrays
+
+    def fit_packed(self, states: TrainState, data_host: np.ndarray,
+                   epochs: int, keys: jax.Array, start_epoch: int = 0):
+        """Train S packed seeds for `epochs` epochs; returns
+        (states, EpochMetrics of [S, epochs] host arrays). Same epoch-key
+        contract as `fit` (epoch e uses fold_in(keys[s], e)), so resuming
+        with start_epoch composes bit-identically."""
+        if epochs <= 0:
+            return states, None
+        data_host = np.asarray(data_host)
+        if data_host.shape[1] < self.cfg.n_var:
+            data_host = np.pad(
+                data_host,
+                ((0, 0), (0, self.cfg.n_var - data_host.shape[1])))
+        data = jnp.asarray(data_host, jnp.dtype(self.cfg.dtype))
+        states, ms = self.run_epochs_packed(states, data, keys,
+                                            start_epoch, epochs)
+        return states, jax.device_get(ms)
+
+    @staticmethod
+    def unpack_seed(states: TrainState, s: int) -> TrainState:
+        """Materialize seed s's state out of a packed state (new buffers —
+        safe to hold across later donated packed calls)."""
+        out = jax.tree.map(lambda l: jnp.copy(l[s]), states)
+        jax.block_until_ready(out)
+        return out
 
     # --------------------------------------------------- streaming epochs --
     def _chunk_impl(self, state: TrainState, yb: jax.Array, w: jax.Array,
@@ -351,6 +426,8 @@ class Trainer:
         fit(..., epochs=b, start_epoch=a) is bit-identical to one
         fit(..., epochs=a+b) — the contract valid-selection block training
         relies on (tests/test_train.py)."""
+        if epochs <= 0:
+            return state, []
         data_host = np.asarray(data_host)
         if data_host.shape[1] < self.cfg.n_var:    # padded variable axis:
             data_host = np.pad(                    # append zero columns
@@ -376,8 +453,9 @@ class Trainer:
                 if log_fn is not None:
                     log_fn(epoch, m_host)
             return state, history
-        # silent path: epoch-block scans (one execution per <=16 epochs),
-        # bit-identical keys to the per-epoch path; single metrics fetch
+        # silent path: epoch-block scans (one execution per MAX_EPOCH_BLOCK
+        # epochs, further capped by MAX_STEPS_PER_EXECUTION), bit-identical
+        # keys to the per-epoch path; single metrics fetch
         state, ms = self.run_epochs(state, data, key, start_epoch, epochs)
         ms = jax.device_get(ms)
         history = [EpochMetrics(*(float(f[i]) for f in ms))

@@ -74,7 +74,14 @@ class MetricLogger:
             try:
                 from torch.utils.tensorboard import SummaryWriter
                 self._tb = SummaryWriter(log_dir=log_dir)
-            except Exception:  # noqa: BLE001 — TB is optional observability
+            except Exception as e:  # noqa: BLE001 — TB is optional
+                # the reference's TensorBoard contract (ref run.py:39-40)
+                # degrades to JSONL-only; say so instead of silently
+                import warnings
+                warnings.warn(
+                    f'TensorBoard event writing unavailable '
+                    f'({type(e).__name__}: {e}); epoch metrics go to '
+                    f'{self._path} only', stacklevel=2)
                 self._tb = None
 
     def log_epoch(self, epoch: int, metrics) -> None:

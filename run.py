@@ -91,7 +91,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help='nearest-codebook search implementation: xla '
                         '(fastest when the [n,B,K] distance tensor fits), '
                         'pallas (fused VMEM kernel, no materialized '
-                        'distances), auto (xla below 2 GB distances, '
+                        'distances), auto (xla below 4 GiB distances, '
                         'pallas above — measured table in docs/design.md)')
     p.add_argument('--precision', choices=['default', 'float32', 'highest'],
                    default='default',

@@ -93,6 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help='per-cell wall-clock limit with --isolate')
     p.add_argument('--retry-failed', action='store_true',
                    help='re-run cells whose last outcome was a failure')
+    p.add_argument('--pack-seeds', type=int, default=1, metavar='S',
+                   help='vmap up to S cells differing only in --seed into '
+                        'ONE device program (identical per-seed results, '
+                        '~Sx aggregate throughput at low chip utilization)')
     p.add_argument('--result-file', type=str, default='result.txt')
     p.add_argument('--mesh-data', type=int, default=1)
     p.add_argument('--mesh-model', type=int, default=1)
@@ -110,21 +114,51 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _run_isolated(cell, timeout: float) -> dict:
-    """Run one cell in a fresh subprocess (pgmvae_tpu/_cell_runner.py);
-    returns its result dict or raises on failure/timeout."""
-    kw = dataclasses.asdict(cell)
-    kw['_device'] = getattr(_run_isolated, 'device', 0)
-    payload = json.dumps(kw)
+def _run_subprocess(payload: dict, timeout: float):
     proc = subprocess.run(
         [sys.executable, '-m', 'pgmvae_tpu._cell_runner'],
-        input=payload, capture_output=True, text=True, timeout=timeout,
-        cwd=os.path.dirname(os.path.abspath(__file__)))
+        input=json.dumps(payload), capture_output=True, text=True,
+        timeout=timeout, cwd=os.path.dirname(os.path.abspath(__file__)))
     if proc.returncode != 0:
         tail = (proc.stderr or proc.stdout or '')[-1500:]
         raise RuntimeError(f'cell subprocess failed '
                            f'(rc={proc.returncode}): {tail}')
     return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def _run_isolated(cell, timeout: float) -> dict:
+    """Run one cell in a fresh subprocess (pgmvae_tpu/_cell_runner.py);
+    returns its result dict or raises on failure/timeout."""
+    kw = dataclasses.asdict(cell)
+    kw['_device'] = getattr(_run_isolated, 'device', 0)
+    return _run_subprocess(kw, timeout)
+
+
+def _run_isolated_packed(cells, timeout: float) -> list:
+    """Run a packed-seed group in a fresh subprocess."""
+    payload = {'_device': getattr(_run_isolated, 'device', 0),
+               '_packed': [dataclasses.asdict(c) for c in cells]}
+    return _run_subprocess(payload, timeout)
+
+
+def group_packed(cells, pack: int):
+    """Partition the grid into run groups: cells differing only in seed are
+    packed together (up to `pack` per group, grid order preserved); all
+    other cells become singleton groups."""
+    if pack <= 1:
+        return [[c] for c in cells]
+    by_key, order = {}, []
+    for cell in cells:
+        k = dataclasses.astuple(dataclasses.replace(cell, seed=-1))
+        if k not in by_key:
+            by_key[k] = []
+            order.append(k)
+        by_key[k].append(cell)
+    groups = []
+    for k in order:
+        cs = by_key[k]
+        groups.extend(cs[j:j + pack] for j in range(0, len(cs), pack))
+    return groups
 
 
 def load_joblog(path: str) -> dict:
@@ -147,7 +181,8 @@ def main(argv=None) -> int:
         import jax
         jax.config.update('jax_platforms', 'cpu')
     _run_isolated.device = args.device      # forwarded to cell subprocesses
-    from pgmvae_tpu.driver import ExperimentConfig, run_experiment
+    from pgmvae_tpu.driver import (ExperimentConfig, run_experiment,
+                                   run_packed_experiments)
     from pgmvae_tpu.utils import append_result
 
     cells = [
@@ -175,40 +210,66 @@ def main(argv=None) -> int:
     print(f'sweep: {len(cells)} cells ({done} already done, '
           f'joblog {args.joblog})', file=sys.stderr)
 
+    pack = max(args.pack_seeds, 1)
+    if pack > 1 and args.mesh_data * args.mesh_model > 1:
+        print('pack-seeds does not compose with a device mesh; '
+              'running cells unpacked', file=sys.stderr)
+        pack = 1
+    groups = group_packed(cells, pack)
+
     failures = 0
+    n_run = 0
     with open(args.joblog, 'a', buffering=1) as log:
-        for i, cell in enumerate(cells):
-            prev = status.get(cell.identifier)
-            if prev is not None:
-                if prev.get('ok'):
-                    continue
-                if not args.retry_failed:
-                    failures += 1
-                    continue
+        for group in groups:
+            todo = []
+            for cell in group:
+                prev = status.get(cell.identifier)
+                if prev is not None:
+                    if prev.get('ok'):
+                        continue
+                    if not args.retry_failed:
+                        failures += 1
+                        continue
+                todo.append(cell)
+            if not todo:
+                continue
             t0 = time.time()
-            rec = {'identifier': cell.identifier, 'ts': int(t0)}
             try:
-                res = (_run_isolated(cell, args.cell_timeout)
-                       if args.isolate else run_experiment(cell))
-                rec.update(ok=True, **{k: v for k, v in res.items()
-                                       if k != 'identifier'})
-                append_result(res['identifier'], res['pll_train'],
-                              res['pll_valid'], res['pll_test'],
-                              res['cmll_test'], path=args.result_file)
-                print(f"[{i + 1}/{len(cells)}] {cell.identifier} "
-                      f"pll-test={res['pll_test']:.5f} "
-                      f"(paper {res['paper_pll']:.2f}) "
-                      f"{res['train_wall']:.1f}s", file=sys.stderr)
+                if len(todo) > 1:
+                    results = (_run_isolated_packed(todo, args.cell_timeout)
+                               if args.isolate
+                               else run_packed_experiments(todo))
+                else:
+                    results = [_run_isolated(todo[0], args.cell_timeout)
+                               if args.isolate else run_experiment(todo[0])]
+                for cell, res in zip(todo, results):
+                    n_run += 1
+                    rec = {'identifier': cell.identifier, 'ts': int(t0),
+                           'ok': True,
+                           **{k: v for k, v in res.items()
+                              if k != 'identifier'},
+                           'wall': round(time.time() - t0, 3)}
+                    log.write(json.dumps(rec) + '\n')
+                    append_result(res['identifier'], res['pll_train'],
+                                  res['pll_valid'], res['pll_test'],
+                                  res['cmll_test'], path=args.result_file)
+                    print(f"[{n_run}/{len(cells)}] {cell.identifier} "
+                          f"pll-test={res['pll_test']:.5f} "
+                          f"(paper {res['paper_pll']:.2f}) "
+                          f"{res['train_wall']:.1f}s", file=sys.stderr)
             except KeyboardInterrupt:
                 raise
-            except Exception as e:  # noqa: BLE001 — joblog records the cell
-                failures += 1
-                rec.update(ok=False, error=f'{type(e).__name__}: {e}',
-                           trace=traceback.format_exc()[-2000:])
-                print(f"[{i + 1}/{len(cells)}] {cell.identifier} "
-                      f"FAILED: {e}", file=sys.stderr)
-            rec['wall'] = round(time.time() - t0, 3)
-            log.write(json.dumps(rec) + '\n')
+            except Exception as e:  # noqa: BLE001 — joblog records the cells
+                for cell in todo:
+                    n_run += 1
+                    failures += 1
+                    rec = {'identifier': cell.identifier, 'ts': int(t0),
+                           'ok': False, 'error': f'{type(e).__name__}: {e}',
+                           'trace': traceback.format_exc()[-2000:],
+                           'wall': round(time.time() - t0, 3)}
+                    log.write(json.dumps(rec) + '\n')
+                    print(f"[{n_run}/{len(cells)}] {cell.identifier} "
+                          f"FAILED: {e}", file=sys.stderr)
             gc.collect()        # drop the cell's device buffers before the
             #                     next cell initializes (in-process mode)
     print(f'sweep finished: {failures} cells failed', file=sys.stderr)

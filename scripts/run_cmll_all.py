@@ -21,6 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pgmvae_tpu.driver import ExperimentConfig, run_experiment  # noqa: E402
 
+NOTE = 'cmll-r3'
+
 # Tuned-best cells from RESULTS.md (round-1 campaign; dcr threshold 1.0 for
 # the cells whose winning note carried -dcr).
 CELLS = {
@@ -59,6 +61,10 @@ def main() -> int:
                     help='comma-separated dataset subset')
     ap.add_argument('--force', action='store_true')
     ap.add_argument('--out', default='logs/cmll.jsonl')
+    ap.add_argument('--retries', type=int, default=2,
+                    help='bounded auto-retries per dataset when the remote '
+                         'TPU worker crashes mid-cell (round-2 required '
+                         'manual reruns)')
     args = ap.parse_args()
 
     done = set()
@@ -84,17 +90,26 @@ def main() -> int:
         kw.setdefault('seed', 1)
         kw.setdefault('cost', 0.25)
         kw.setdefault('decay', 0.99)
-        exp = ExperimentConfig(name=name, ema=True, note='cmll-r2',
+        exp = ExperimentConfig(name=name, ema=True, note=NOTE,
                                cmll=True, **kw)
         t0 = time.time()
-        try:
-            res = run_experiment(exp)
-            rec = {'name': name, 'ok': True, **res,
-                   'wall': round(time.time() - t0, 1)}
-        except Exception as e:  # noqa: BLE001 — record and continue
-            rec = {'name': name, 'ok': False,
-                   'error': f'{type(e).__name__}: {e}'[:400],
-                   'wall': round(time.time() - t0, 1)}
+        for attempt in range(1 + max(args.retries, 0)):
+            try:
+                res = run_experiment(exp)
+                rec = {'name': name, 'ok': True, **res,
+                       'wall': round(time.time() - t0, 1)}
+                break
+            except Exception as e:  # noqa: BLE001 — record and continue
+                rec = {'name': name, 'ok': False,
+                       'error': f'{type(e).__name__}: {e}'[:400],
+                       'wall': round(time.time() - t0, 1)}
+                transient = 'crashed or restarted' in str(e) \
+                    or 'UNAVAILABLE' in str(e)
+                if not transient or attempt == args.retries:
+                    break
+                print(f'{name}: TPU worker crash, retrying '
+                      f'({attempt + 1}/{args.retries})', file=sys.stderr)
+                time.sleep(20)      # give the worker time to come back
         with open(args.out, 'a') as f:
             f.write(json.dumps(rec) + '\n')
         print(json.dumps(rec), flush=True)

@@ -89,3 +89,37 @@ def test_sweep_isolate_subprocess_cells(tmp_path):
     recs = [json.loads(l) for l in open(joblog)]
     assert len(recs) == 2 and all(r['ok'] for r in recs)
     assert all(-8 < r['pll_test'] < -4 for r in recs)
+
+
+def test_sweep_pack_seeds(tmp_path):
+    """--pack-seeds S runs seed-only-differing cells as one vmapped device
+    program; joblog/result.txt records one line per cell, resume still
+    dedupes per identifier."""
+    joblog = str(tmp_path / 'joblog.jsonl')
+    res = str(tmp_path / 'result.txt')
+    base = ['-n', 'nltcs', '-k', '8', '-d', '4', '-b', '512', '-e', '1',
+            '-r', '0.01', '-m', '-s', '0,1,2', '--pack-seeds', '2',
+            '--joblog', joblog, '--result-file', res]
+    out = _run(base)
+    assert out.returncode == 0, out.stderr[-800:]
+    recs = [json.loads(l) for l in open(joblog)]
+    assert len(recs) == 3 and all(r['ok'] for r in recs)
+    assert sorted(r.get('packed_seeds', 1) for r in recs) == [1, 2, 2]
+    assert sum(1 for _ in open(res)) == 3
+    # resume: nothing re-runs
+    out2 = _run(base)
+    assert out2.returncode == 0
+    assert sum(1 for _ in open(joblog)) == 3
+
+
+def test_sweep_pack_seeds_isolated(tmp_path):
+    """--pack-seeds composes with --isolate (packed group per subprocess)."""
+    joblog = str(tmp_path / 'joblog.jsonl')
+    out = _run(['-n', 'nltcs', '-k', '8', '-d', '4', '-b', '512', '-e', '1',
+                '-r', '0.01', '-m', '-s', '0,1', '--pack-seeds', '2',
+                '--isolate', '--joblog', joblog,
+                '--result-file', str(tmp_path / 'result.txt')])
+    assert out.returncode == 0, out.stderr[-800:]
+    recs = [json.loads(l) for l in open(joblog)]
+    assert len(recs) == 2 and all(r['ok'] for r in recs)
+    assert all(r['packed_seeds'] == 2 for r in recs)
