@@ -20,6 +20,7 @@ measurement below is used.
 Extra diagnostics (stage-2 eval wall, PLL quality) go to stderr.
 """
 
+import gc
 import json
 import os
 import subprocess
@@ -29,6 +30,61 @@ import time
 # scripts/bench_reference_tf.py -n nltcs --epochs 5 on this host
 # (TF 2.21 CPU, oneDNN): 34585.1 samples/sec, 3.684 ms/step at bs=128.
 TF2_MEASURED_FALLBACK = 34585.1
+
+# TPU v5e (v5 lite) peak matmul throughput, bf16 — f32 model arithmetic
+# runs on the MXU as bf16 passes under JAX's 'default' matmul precision,
+# so this is the roofline the train step is measured against.
+V5E_PEAK_FLOPS = 197e12
+
+
+def train_flops_per_sample(cfg) -> float:
+    """Analytic model FLOPs per trained sample (the MFU numerator).
+
+    Matmul work per sample per network: 2*in*out per dense layer (encoder
+    n->u0..->D, decoder D->..->n in the padded masked design) plus the
+    2*D*K quantizer distance contraction; x n_var stacked networks;
+    x3 for training (forward + both backward matmul passes)."""
+    enc = [cfg.n_var, *cfg.units, cfg.dim]
+    dec = [cfg.dim, *reversed(cfg.units), cfg.n_var]
+    mm = sum(a * b for a, b in zip(enc[:-1], enc[1:]))
+    mm += sum(a * b for a, b in zip(dec[:-1], dec[1:]))
+    fwd = cfg.n_var * 2.0 * (mm + cfg.dim * cfg.effective_codes)
+    return 3.0 * fwd
+
+
+def bench_model(label, cfg, data_host, batch, lr, epochs) -> dict:
+    """Steady-state drained throughput + MFU for one model config."""
+    import jax
+    import jax.numpy as jnp
+
+    from pgmvae_tpu.train import Trainer
+
+    trainer = Trainer(cfg, lr, batch, len(data_host))
+    state = trainer.init_state(jax.random.PRNGKey(1))
+    data = jnp.asarray(data_host, jnp.float32)
+
+    # warmup compiles the same block program the timed run uses
+    state, m = trainer.run_epochs(state, data, jax.random.PRNGKey(0),
+                                  0, epochs)
+    jax.device_get(m)
+    t0 = time.time()
+    state, m = trainer.run_epochs(state, data, jax.random.PRNGKey(1),
+                                  0, epochs)
+    jax.device_get(m)                 # honest: full remote drain
+    wall = time.time() - t0
+    sps = epochs * len(data_host) / wall
+    fps = train_flops_per_sample(cfg)
+    mfu = sps * fps / V5E_PEAK_FLOPS
+    print(f'{label}: {epochs} epochs (bs={batch}) in {wall:.3f}s drained '
+          f'-> {sps:,.0f} samples/sec/chip; model '
+          f'{fps / 1e9:.2f} GFLOP/sample -> {sps * fps / 1e12:.2f} TFLOP/s '
+          f'= {100 * mfu:.1f}% of v5e bf16 peak ({V5E_PEAK_FLOPS / 1e12:.0f} '
+          f'TFLOP/s); loss={float(m.loss[-1]):.5f}', file=sys.stderr)
+    del trainer, state, data, m
+    gc.collect()
+    return {'samples_per_sec': round(sps, 1),
+            'gflop_per_sample': round(fps / 1e9, 3),
+            'mfu_pct': round(100 * mfu, 2)}
 
 
 def measure_tf2_baseline() -> tuple:
@@ -92,12 +148,52 @@ def main() -> int:
           f'in {train_wall:.3f}s (drained); stage-2 (cpt + test PLL incl '
           f'compile) {eval_wall:.3f}s; pll-test={pll_test:.5f}; '
           f'baseline {baseline_sps:.1f} samples/sec [{how}]', file=sys.stderr)
+    del state, data, m
+    gc.collect()
+
+    # ---- large-model configs: the MFU story (VERDICT r2 #2) -------------
+    # nltcs above is dispatch-bound (~0.25 MFLOP/sample); these two measure
+    # where the FLOPs are. bbc = the tuned flagship recipe's model (real
+    # data, guarded default widths); 'bbc bs=250' lifts the batch to fill
+    # the MXU (the tuned bs=25 cell sustained 646 samples/sec in round 2);
+    # 'ad' is the largest benchmark shape (n=1556; train data stripped from
+    # the mount, so samples are synthetic — shapes are what matter here).
+    import numpy as np
+
+    from pgmvae_tpu.registry import REGISTRY, default_units
+
+    extras = {}
+    try:
+        y_bbc = load_split('bbc', 'train')
+        bbc_cfg = VqVaeConfig(
+            n_var=1058, units=REGISTRY['bbc'].encoder_units(20), dim=20,
+            num_codes=50, cost=0.05, decay=0.9, quantizer='ema',
+            dead_code_threshold=0.25, fan_mode='per_network')
+        r = bench_model('bbc tuned recipe (bs=25)', bbc_cfg, y_bbc,
+                        25, 0.003, 8)
+        extras['bbc_bs25'] = r
+        r = bench_model('bbc batch-lifted (bs=250)', bbc_cfg, y_bbc,
+                        250, 0.003, 16)
+        extras['bbc_bs250'] = r
+
+        rng = np.random.default_rng(0)
+        y_ad = rng.integers(0, 2, size=(2461, 1556)).astype(np.float32)
+        ad_cfg = VqVaeConfig(n_var=1556, units=default_units(1556, 30),
+                             dim=30, num_codes=20, quantizer='ema')
+        r = bench_model('ad-scale synthetic (n=1556, bs=250)', ad_cfg, y_ad,
+                        250, 0.001, 16)
+        extras['ad_synth_bs250'] = r
+    except Exception as e:  # noqa: BLE001 — headline metric must still print
+        print(f'large-model bench failed: {type(e).__name__}: {e}',
+              file=sys.stderr)
+        extras['large_model_error'] = f'{type(e).__name__}: {e}'[:300]
 
     print(json.dumps({
         'metric': 'stage-1 train throughput (nltcs K=50 D=10 bs=128 EMA)',
         'value': round(samples_per_sec, 1),
         'unit': 'samples/sec/chip',
         'vs_baseline': round(samples_per_sec / baseline_sps, 2),
+        **extras,
     }))
     return 0
 

@@ -19,7 +19,8 @@ SEEDS=${SEEDS:-1,2,3}
 
 run() {
   timeout 21600 python run_pipeline.py --joblog "$JOBLOG" \
-      --result-file "$RESULT" --pack-seeds 3 -m \
+      --result-file "$RESULT" --pack-seeds 3 -m --isolate \
+      --cell-timeout 7200 \
       --dead-code-threshold "$DCR" -s "$SEEDS" "$@" || true
 }
 
