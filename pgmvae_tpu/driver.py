@@ -42,6 +42,10 @@ class ExperimentConfig:
     select_on_valid: int = 0   # >0: evaluate valid PLL every N epochs and
     #                            keep the best snapshot (anti-overfit; the
     #                            reference always uses the final epoch)
+    cpt_parents: int = 0   # >0: joint-code CPTs — condition each variable's
+    #                        stage-2 table on the values of its m highest-MI
+    #                        partner variables as well as its code
+    #                        (stage2.select_parents); 0 = reference semantics
     checkpoint: Optional[str] = None
     resume: Optional[str] = None
     data_dir: Optional[str] = None
@@ -60,7 +64,8 @@ class ExperimentConfig:
                               zero_debias=self.zero_debias,
                               precision=self.precision,
                               activation=self.activation, l2_reg=self.l2_reg,
-                              select_on_valid=self.select_on_valid)
+                              select_on_valid=self.select_on_valid,
+                              cpt_parents=self.cpt_parents)
 
 
 def run_packed_experiments(exps) -> list:
@@ -115,7 +120,11 @@ def run_packed_experiments(exps) -> list:
 
     y_train = load_split(base.name, 'train', base.data_dir)
     trainer = Trainer(cfg, base.rate, base.batch, len(y_train))
-    s2 = Stage2(cfg)
+    parents = None
+    if base.cpt_parents > 0:
+        from pgmvae_tpu.stage2 import select_parents
+        parents = select_parents(y_train, base.cpt_parents)
+    s2 = Stage2(cfg, parents=parents)
     keys = jnp.stack([jax.random.PRNGKey(e.seed) for e in exps])
     states = trainer.init_states_packed(keys)
 
@@ -250,7 +259,11 @@ def run_experiment(exp: ExperimentConfig) -> dict:
                 f'requested run: ' + '; '.join(mismatches))
         state = trainer.shard_state(state)
 
-    s2 = Stage2(cfg, mesh_ctx=mesh_ctx)
+    parents = None
+    if exp.cpt_parents > 0:
+        from pgmvae_tpu.stage2 import select_parents
+        parents = select_parents(y_train, exp.cpt_parents)
+    s2 = Stage2(cfg, mesh_ctx=mesh_ctx, parents=parents)
     log_fn = logger.log_epoch if logger else None
     best_epoch = exp.epoch
     t0 = time.time()
@@ -313,12 +326,15 @@ def run_experiment(exp: ExperimentConfig) -> dict:
         cmll_test = conditional_marginal_log_likelihood(
             state.params, codebook, cfg, dist, y_test,
             p1=max(info.n_var // 10, 1), num_smp=3000, burn_in=150,
-            key=jax.random.PRNGKey(exp.seed), verbose=exp.verbose)
+            key=jax.random.PRNGKey(exp.seed), verbose=exp.verbose,
+            parents=parents)
         cmll_wall = round(time.time() - t2, 3)
 
     if exp.checkpoint:
-        ckpt.save(exp.checkpoint, cfg, state, dist,
-                  extra={'identifier': exp.identifier, 'pll': pll})
+        extra = {'identifier': exp.identifier, 'pll': pll}
+        if parents is not None:
+            extra['cpt_parents'] = parents.tolist()
+        ckpt.save(exp.checkpoint, cfg, state, dist, extra=extra)
 
     result = {
         'identifier': exp.identifier,

@@ -42,21 +42,38 @@ from pgmvae_tpu.models import vqvae
 LOG_EPS = 1e-5  # reference core/model.py:148
 
 
-def get_probability(params, codebook, cfg, dist, y, fts):
-    """p(y_v = 1 | code_v(y_{-v})) for the selected variables (reference
-    `core/model.py:98-108`).
+def get_probability(params, codebook, cfg, dist, y, fts, parents=None):
+    """p(y_v = 1 | code_v(y_{-v})[, y_parents(v)]) for the selected
+    variables (reference `core/model.py:98-108`).
 
     y: full-width samples — [B, n_var] shared across selections, or
     [n_sel, B, n_var] one state per selection (the Gibbs case). Each selected
     network masks out its own variable internally (padded leave-one-out), so
     callers never build [.., n_var-1] views. fts: [n_sel] variable ids.
+
+    With joint-code CPTs (stage2.select_parents), `dist` is [n, K, 2^m] and
+    `parents` [n, m]: the lookup also keys on the binary word of the
+    sample's values at the selected variable's parents.
     Returns [n_sel, B] probabilities gathered from the CPT `dist`.
     """
     sub_params, sub_codebook = vqvae.gather_variables(params, codebook, fts)
     codes = vqvae.encode_codes(sub_params, sub_codebook, y, cfg,
                                var_ids=fts)                       # [n_sel,B]
-    prb = jnp.take(dist, fts, axis=0)                             # [n_sel,K]
-    return jnp.take_along_axis(prb, codes, axis=1)
+    if parents is None:
+        prb = jnp.take(dist, fts, axis=0)                         # [n_sel,K]
+        return jnp.take_along_axis(prb, codes, axis=1)
+    m = parents.shape[1]
+    n_states = 1 << m
+    par = jnp.take(parents, fts, axis=0)                          # [n_sel,m]
+    if y.ndim == 2:
+        vals = jnp.transpose(y[:, par], (1, 0, 2))                # [n_sel,B,m]
+    else:
+        vals = jnp.take_along_axis(y, par[:, None, :], axis=2)    # [n_sel,B,m]
+    pw = 1 << jnp.arange(m, dtype=jnp.int32)
+    j = jnp.sum(vals.astype(jnp.int32) * pw, axis=-1)             # [n_sel,B]
+    dflat = dist.reshape(dist.shape[0], -1)                       # [n,K*2^m]
+    prb = jnp.take(dflat, fts, axis=0)
+    return jnp.take_along_axis(prb, codes * n_states + j, axis=1)
 
 
 _SEGMENT_STEPS = int(os.environ.get('PGMVAE_GIBBS_SEGMENT_STEPS', 8192))
@@ -71,7 +88,8 @@ _SEGMENT_STEPS = int(os.environ.get('PGMVAE_GIBBS_SEGMENT_STEPS', 8192))
 
 @partial(jax.jit, static_argnames=('cfg', 'p1', 'seg', 'burn_in'))
 def _cmll_segment(params, codebook, cfg: vqvae.VqVaeConfig, dist,
-                  state, cnt, i0, p1: int, seg: int, burn_in: int, key):
+                  state, cnt, i0, p1: int, seg: int, burn_in: int, key,
+                  parents=None):
     """Advance the blockwise Gibbs chain by `seg` steps starting at global
     step i0 (a device scalar, so all full segments share one program).
     Step math is identical to the reference sweep (core/model.py:129-143);
@@ -89,7 +107,8 @@ def _cmll_segment(params, codebook, cfg: vqvae.VqVaeConfig, dist,
         y = marker_j + jnp.mod(i, vol_j)         # variable per block
         # padded design: the chain state goes in whole; each block's network
         # masks its own variable internally -- no per-block gather
-        prb = get_probability(params, codebook, cfg, dist, stt, y)
+        prb = get_probability(params, codebook, cfg, dist, stt, y,
+                              parents=parents)
         u = jax.random.uniform(jax.random.fold_in(key, i), (blocks, batch))
         gibbs = (u < prb).astype(stt.dtype)
         stt = stt.at[bid[:, None], jnp.arange(batch)[None, :],
@@ -106,13 +125,17 @@ def conditional_marginal_log_likelihood(params, codebook,
                                         cfg: vqvae.VqVaeConfig,
                                         dist, x, p1: int, num_smp: int,
                                         burn_in: int, key=None,
-                                        verbose: bool = False) -> float:
-    """CMLL of a test batch x [B, n_var]; `dist` is the train-split CPT.
+                                        verbose: bool = False,
+                                        parents=None) -> float:
+    """CMLL of a test batch x [B, n_var]; `dist` is the train-split CPT
+    ([n, K], or [n, K, 2^m] with `parents` [n, m] joint-code tables).
     `verbose` prints sampling progress (reference core/model.py:141-142)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     p1, num_smp, burn_in = int(p1), int(num_smp), int(burn_in)
     dist32 = jnp.asarray(np.asarray(dist, np.float32))
+    if parents is not None:
+        parents = jnp.asarray(np.asarray(parents, np.int32))
     x = jnp.asarray(x)
     batch, n = x.shape
     blocks = math.ceil(n / p1)
@@ -129,7 +152,7 @@ def conditional_marginal_log_likelihood(params, codebook,
         seg = min(_SEGMENT_STEPS, total - done)
         state, cnt = _cmll_segment(params, codebook, cfg, dist32, state,
                                    cnt, jnp.asarray(done, jnp.int32),
-                                   p1, seg, burn_in, key)
+                                   p1, seg, burn_in, key, parents=parents)
         jax.block_until_ready(cnt)          # bound each remote execution
         done += seg
         if verbose:

@@ -32,11 +32,15 @@ class PgmModel:
     """Inference wrapper over (config, params, codebook, dist)."""
 
     def __init__(self, cfg: vqvae.VqVaeConfig, params, codebook,
-                 dist: np.ndarray):
+                 dist: np.ndarray, parents: np.ndarray = None):
         self.cfg = cfg
         self.params = params
         self.codebook = codebook
         self.dist = np.asarray(dist, np.float64)
+        # joint-code CPTs (driver --cpt-parents): dist is [n, K, 2^m] and
+        # every lookup also keys on the sample's values at v's parents
+        self.parents = (None if parents is None
+                        else jnp.asarray(np.asarray(parents, np.int32)))
         self._dist32 = jnp.asarray(self.dist.astype(np.float32))
         self._codes = jax.jit(self._codes_impl)
         self._score = jax.jit(self._score_impl)
@@ -44,7 +48,7 @@ class PgmModel:
 
     @classmethod
     def from_checkpoint(cls, path: str) -> 'PgmModel':
-        cfg, state, dist, _ = ckpt.load(path)
+        cfg, state, dist, extra = ckpt.load(path)
         if dist is None:
             raise ValueError(f'{path} has no CPT (dist); run stage 2 and '
                              f'save with dist= before serving')
@@ -53,7 +57,10 @@ class PgmModel:
         template = trainer.init_state(jax.random.PRNGKey(0))
         from flax import serialization
         state = serialization.from_state_dict(template, state)
-        return cls(cfg, state.params, trainer.codebook(state), dist)
+        parents = extra.get('cpt_parents')
+        return cls(cfg, state.params, trainer.codebook(state), dist,
+                   parents=np.asarray(parents, np.int32)
+                   if parents is not None else None)
 
     # ------------------------------------------------------------------ --
     def _codes_impl(self, y):
@@ -67,7 +74,16 @@ class PgmModel:
 
     def _score_impl(self, y):
         codes = self._codes_impl(y)                       # [n, B]
-        p1 = jnp.take_along_axis(self._dist32, codes, axis=1)  # [n, B]
+        if self.parents is not None:
+            vals = y[:, self.parents]                     # [B, n, m]
+            pw = 1 << jnp.arange(self.parents.shape[1], dtype=jnp.int32)
+            j = jnp.sum(vals.astype(jnp.int32) * pw, axis=-1).T   # [n, B]
+            codes = codes * self._dist32.shape[-1] + j
+            p1 = jnp.take_along_axis(
+                self._dist32.reshape(self._dist32.shape[0], -1), codes,
+                axis=1)
+        else:
+            p1 = jnp.take_along_axis(self._dist32, codes, axis=1)  # [n, B]
         yt = y.T
         ll = (yt * jnp.log(p1 + LOG_EPS)
               + (1.0 - yt) * jnp.log(1.0 - p1 + LOG_EPS))
@@ -82,7 +98,7 @@ class PgmModel:
     def _cond_impl(self, x, fts):
         from pgmvae_tpu.gibbs import get_probability
         return get_probability(self.params, self.codebook, self.cfg,
-                               self._dist32, x, fts)
+                               self._dist32, x, fts, parents=self.parents)
 
     def conditional_probability(self, y, fts) -> np.ndarray:
         """p(y_v=1 | y_{-v}) for variables `fts` [F], given full-width

@@ -52,6 +52,43 @@ SMOOTHING = 0.8     # reference core/model.py:88
 LOG_EPS = 1e-5      # reference core/model.py:93-94
 
 
+def mutual_information_matrix(y: np.ndarray) -> np.ndarray:
+    """Pairwise mutual information [n, n] of binary columns (train split).
+
+    Closed form from the 2x2 joint tables, all of which come out of one
+    [n, n] matmul — no per-pair loop."""
+    y = np.asarray(y, np.float64)
+    n_samples = max(y.shape[0], 1)
+    p1 = y.mean(axis=0)
+    p11 = (y.T @ y) / n_samples
+    p10 = np.clip(p1[:, None] - p11, 0.0, 1.0)
+    p01 = np.clip(p1[None, :] - p11, 0.0, 1.0)
+    p00 = np.clip(1.0 - p11 - p10 - p01, 0.0, 1.0)
+    mi = np.zeros_like(p11)
+    for pab, pa, pb in ((p11, p1, p1), (p10, p1, 1.0 - p1),
+                        (p01, 1.0 - p1, p1), (p00, 1.0 - p1, 1.0 - p1)):
+        denom = np.maximum(pa[:, None] * pb[None, :], 1e-12)
+        mi += pab * (np.log(np.maximum(pab, 1e-12)) - np.log(denom))
+    return mi
+
+
+def select_parents(y_train: np.ndarray, m: int) -> np.ndarray:
+    """Per-variable CPT parents: the m OTHER variables with the highest
+    train-split mutual information with each variable, [n, m] int32.
+
+    These extend the stage-2 conditioning set from {code_v} to
+    {code_v, y_parents(v)} (the 'joint-code CPT' quality lever): the CPT
+    becomes p(y_v=1 | k, y_par) with K * 2^m tied cells per variable.
+    Parents are a function of x_{-v} only, so the pseudo-log-likelihood
+    stays a legal PLL — nothing about y_v leaks into its own conditioning
+    (unlike conditioning on a neighbor's CODE, which is computed from a
+    view that includes y_v)."""
+    mi = mutual_information_matrix(y_train)
+    np.fill_diagonal(mi, -np.inf)
+    order = np.argsort(-mi, axis=1)[:, :m]
+    return np.ascontiguousarray(order.astype(np.int32))
+
+
 def auto_chunk(n_var: int, num_codes: int, budget_bytes: int = 1 << 27) -> int:
     """Chunk size bounding per-chunk device buffers to ~128 MB.
 
@@ -70,22 +107,45 @@ class Stage2:
     """Caches ONE jitted per-chunk counting program per (config, chunk)."""
 
     def __init__(self, cfg: vqvae.VqVaeConfig, chunk: Optional[int] = None,
-                 mesh_ctx: Optional[MeshContext] = None):
+                 mesh_ctx: Optional[MeshContext] = None,
+                 parents: Optional[np.ndarray] = None):
         self.cfg = cfg
         self.k = cfg.effective_codes
         self.chunk = int(chunk or auto_chunk(cfg.n_var, self.k))
         self.mesh = mesh_ctx or MeshContext(None)
+        # joint-code CPTs: condition each variable's table on its code AND
+        # the observed values of `parents` [active_vars, m] partner
+        # variables (see select_parents) -> counts become [n, K, 2^m]
+        self.parents = None
+        self.n_states = 1
+        if parents is not None and parents.size:
+            parents = np.asarray(parents, np.int32)
+            if parents.shape[0] < cfg.n_var:     # padded variable axis:
+                parents = np.pad(                # inert rows point at var 0
+                    parents,
+                    ((0, cfg.n_var - parents.shape[0]), (0, 0)))
+            self.parents = jnp.asarray(parents)
+            self.n_states = 1 << parents.shape[1]
         # the count accumulators are donated back into the next chunk call
         self._count_chunk = jax.jit(self._chunk_impl, donate_argnums=(2, 3))
 
     def _chunk_impl(self, params, codebook, n1, n0, yb, wb):
         """One fixed-shape chunk: yb [chunk, n_var], wb [chunk] validity
-        weights (0 on padded rows); accumulates into n1/n0 [n_var, K]."""
+        weights (0 on padded rows); accumulates into n1/n0
+        [n_var, K * n_states]."""
         cfg, k = self.cfg, self.k
         with jax.default_matmul_precision(cfg.matmul_precision):
             yb = self.mesh.constrain(yb, self.mesh.batch)
             codes = vqvae.encode_codes(params, codebook, yb, cfg)  # [n,B]
-            onehot = jax.nn.one_hot(codes, k, dtype=yb.dtype)      # [n,B,K]
+            if self.parents is not None:
+                # parent-state index j[v,b] = binary word of the sample's
+                # values at v's parents; joint cell = code * 2^m + j
+                vals = yb[:, self.parents]             # [B, n, m]
+                pw = 1 << jnp.arange(self.parents.shape[1], dtype=jnp.int32)
+                j = jnp.sum(vals.astype(jnp.int32) * pw, axis=-1).T  # [n,B]
+                codes = codes * self.n_states + j
+            onehot = jax.nn.one_hot(codes, k * self.n_states,
+                                    dtype=yb.dtype)    # [n,B,K*J]
             onehot = onehot * wb[None, :, None]
             n1 = n1 + jnp.einsum('nbk,bn->nk', onehot, yb,
                                  preferred_element_type=jnp.float32)
@@ -102,8 +162,8 @@ class Stage2:
             y_host = np.pad(np.asarray(y_host),
                             ((0, 0), (0, self.cfg.n_var - y_host.shape[1])))
         n, chunk = y_host.shape[0], self.chunk
-        n1 = jnp.zeros((self.cfg.n_var, self.k), jnp.float32)
-        n0 = jnp.zeros((self.cfg.n_var, self.k), jnp.float32)
+        n1 = jnp.zeros((self.cfg.n_var, self.k * self.n_states), jnp.float32)
+        n0 = jnp.zeros((self.cfg.n_var, self.k * self.n_states), jnp.float32)
         for start in range(0, max(n, 1), chunk):
             yb = np.asarray(y_host[start:start + chunk], np.float32)
             wb = np.ones(yb.shape[0], np.float32)
@@ -127,8 +187,12 @@ class Stage2:
                 print(f's2 chunk@{start}: xfer {t1 - t0:.3f}s '
                       f'call {time.time() - t1:.3f}s', file=sys.stderr)
         na = self.cfg.active_vars           # padding networks sliced away
-        return (np.asarray(jax.device_get(n1), np.float64)[:na],
-                np.asarray(jax.device_get(n0), np.float64)[:na])
+        n1 = np.asarray(jax.device_get(n1), np.float64)[:na]
+        n0 = np.asarray(jax.device_get(n0), np.float64)[:na]
+        if self.parents is not None:        # [na, K, 2^m] joint-code tables
+            n1 = n1.reshape(na, self.k, self.n_states)
+            n0 = n0.reshape(na, self.k, self.n_states)
+        return n1, n0
 
     def cpt(self, params, codebook, y_train: np.ndarray) -> np.ndarray:
         """Smoothed conditional probability table p(y_v=1 | code=k),

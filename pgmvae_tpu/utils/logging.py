@@ -23,7 +23,7 @@ def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
                    fan_mode='tf_stacked', dead_code_threshold=0.0,
                    zero_debias=True, precision='default',
                    activation='selu', l2_reg=0.0,
-                   select_on_valid=0) -> str:
+                   select_on_valid=0, cpt_parents=0) -> str:
     """Hyperparameter-encoding run id, field-for-field the reference's
     format (reference run.py:38).
 
@@ -53,6 +53,8 @@ def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
         ext.append(f'l2-{l2_reg}')
     if select_on_valid:
         ext.append(f'sov-{select_on_valid}')
+    if cpt_parents:
+        ext.append(f'cptp-{cpt_parents}')
     return base + ('_' + '_'.join(ext) if ext else '')
 
 

@@ -104,6 +104,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help='evaluate valid PLL every N epochs and keep the '
                         'best snapshot instead of the final epoch '
                         '(anti-overfit; 0 = reference behavior)')
+    p.add_argument('--cpt-parents', type=int, default=0, metavar='M',
+                   help='joint-code CPTs: condition each variable\'s stage-2 '
+                        'table on its code AND the observed values of its M '
+                        'highest-mutual-information partner variables '
+                        '(K * 2^M tied cells per variable; still a legal '
+                        'PLL — the conditioning set is a function of x_-v '
+                        'only). 0 = reference semantics')
     p.add_argument('--cmll', action='store_true',
                    help='also evaluate CMLL via Gibbs sampling '
                         '(num_smp=3000, burn_in=150, p1=n_var//10, as in '
@@ -164,7 +171,7 @@ def main(argv=None) -> int:
         activation=args.activation, l2_reg=args.l2,
         vq_impl=args.vq_impl,
         precision=args.precision, cmll=args.cmll,
-        select_on_valid=args.select_on_valid,
+        select_on_valid=args.select_on_valid, cpt_parents=args.cpt_parents,
         checkpoint=args.checkpoint, resume=args.resume,
         data_dir=args.data_dir, verbose=args.verbose,
         log_dir=os.path.join(os.curdir, 'logs', 'tuning'))

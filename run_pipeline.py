@@ -105,6 +105,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--select-on-valid', type=int, default=0, metavar='N',
                    help='keep the best-valid-PLL snapshot, evaluated every '
                         'N epochs (0 = final epoch, reference behavior)')
+    p.add_argument('--cpt-parents', type=_csv(int), default=[0],
+                   help='grid over joint-code CPT parent counts (see '
+                        'run.py --cpt-parents; 0 = reference semantics)')
     p.add_argument('--precision', choices=['default', 'float32', 'highest'],
                    default='default')
     p.add_argument('--data-dir', type=str, default=None)
@@ -195,12 +198,14 @@ def main(argv=None) -> int:
                          mesh_data=args.mesh_data, mesh_model=args.mesh_model,
                          vq_impl=args.vq_impl, precision=args.precision,
                          select_on_valid=args.select_on_valid,
+                         cpt_parents=cpp,
                          data_dir=args.data_dir, verbose=args.verbose)
-        for name, k, d, b, r, c, g, s, qz, un, fm, dcr, act, l2
+        for name, k, d, b, r, c, g, s, qz, un, fm, dcr, act, l2, cpp
         in itertools.product(
             args.name, args.embedding, args.dim, args.batch, args.rate,
             args.cost, args.decay, args.seed, args.quantizer, args.units,
-            args.fan_mode, args.dead_code_threshold, args.activation, args.l2)
+            args.fan_mode, args.dead_code_threshold, args.activation, args.l2,
+            args.cpt_parents)
     ]
 
     os.makedirs(os.path.dirname(os.path.abspath(args.joblog)), exist_ok=True)

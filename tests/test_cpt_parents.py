@@ -1,0 +1,143 @@
+"""Joint-code CPTs (--cpt-parents): stage-2 tables conditioned on each
+variable's code AND the observed values of its highest-MI partner variables.
+
+The conditioning set {code_v(x_-v), y_parents(v)} is a function of x_-v
+only, so the pseudo-log-likelihood stays a legal PLL (no leakage of y_v
+into its own conditioning).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pgmvae_tpu.driver import ExperimentConfig, run_experiment
+from pgmvae_tpu.gibbs import (conditional_marginal_log_likelihood,
+                              get_probability)
+from pgmvae_tpu.models import VqVaeConfig, vqvae
+from pgmvae_tpu.stage2 import Stage2, select_parents
+from pgmvae_tpu.train import Trainer
+
+
+def _chain_data(n=6, n_samples=2000, seed=0):
+    """y_v strongly depends on y_{v-1} (flip prob 0.1): parent of v should
+    be v-1 or v+1 (the two MI-maximal partners)."""
+    rng = np.random.default_rng(seed)
+    y = np.zeros((n_samples, n), np.float32)
+    y[:, 0] = rng.integers(0, 2, n_samples)
+    for v in range(1, n):
+        flip = rng.random(n_samples) < 0.1
+        y[:, v] = np.where(flip, 1 - y[:, v - 1], y[:, v - 1])
+    return y
+
+
+def test_select_parents_finds_chain_neighbors():
+    y = _chain_data()
+    par = select_parents(y, 1)
+    assert par.shape == (6, 1)
+    for v in range(6):
+        assert par[v, 0] in (v - 1, v + 1), (v, par[v, 0])
+        assert par[v, 0] != v
+
+
+def test_counts_match_naive_oracle():
+    y = _chain_data(n=5, n_samples=300)
+    cfg = VqVaeConfig(n_var=5, units=(4, 3), dim=2, num_codes=4,
+                      quantizer='ema')
+    tr = Trainer(cfg, 0.01, 64, len(y))
+    st = tr.init_state(jax.random.PRNGKey(0))
+    st, _ = tr.fit(st, y, epochs=1, key=jax.random.PRNGKey(1))
+    cb = tr.codebook(st)
+    par = select_parents(y, 2)
+    s2 = Stage2(cfg, chunk=64, parents=par)
+    n1, n0 = s2.counts(st.params, cb, y)
+    assert n1.shape == (5, 4, 4)
+
+    codes = np.asarray(vqvae.encode_codes(st.params, cb, jnp.asarray(y), cfg))
+    n1_ref = np.zeros((5, 4, 4))
+    n0_ref = np.zeros((5, 4, 4))
+    for b in range(len(y)):
+        for v in range(5):
+            j = int(y[b, par[v, 0]]) + 2 * int(y[b, par[v, 1]])
+            if y[b, v] == 1:
+                n1_ref[v, codes[v, b], j] += 1
+            else:
+                n0_ref[v, codes[v, b], j] += 1
+    np.testing.assert_array_equal(n1, n1_ref)
+    np.testing.assert_array_equal(n0, n0_ref)
+    # marginalizing the parent axis must recover the plain counts
+    p1, p0 = Stage2(cfg, chunk=64).counts(st.params, cb, y)
+    np.testing.assert_array_equal(n1.sum(-1), p1)
+    np.testing.assert_array_equal(n0.sum(-1), p0)
+
+
+def test_parents_improve_pll_on_dependent_data():
+    y = _chain_data(n_samples=3000, seed=3)
+    cfg = VqVaeConfig(n_var=6, units=(5, 4), dim=2, num_codes=4,
+                      quantizer='ema')
+    tr = Trainer(cfg, 0.01, 128, len(y))
+    st = tr.init_state(jax.random.PRNGKey(0))
+    st, _ = tr.fit(st, y, epochs=2, key=jax.random.PRNGKey(1))
+    cb = tr.codebook(st)
+
+    s2_plain = Stage2(cfg)
+    d0 = s2_plain.cpt(st.params, cb, y)
+    pll0 = s2_plain.pseudo_log_likelihood(st.params, cb, y, d0)
+
+    s2_par = Stage2(cfg, parents=select_parents(y, 1))
+    d1 = s2_par.cpt(st.params, cb, y)
+    pll1 = s2_par.pseudo_log_likelihood(st.params, cb, y, d1)
+    # chain data: knowing one neighbor is worth ~log 2 per variable
+    assert pll1 > pll0 + 0.5, (pll0, pll1)
+
+
+def test_get_probability_and_cmll_with_parents():
+    y = _chain_data(n=6, n_samples=500, seed=4)
+    cfg = VqVaeConfig(n_var=6, units=(5, 4), dim=2, num_codes=4,
+                      quantizer='ema')
+    tr = Trainer(cfg, 0.01, 64, len(y))
+    st = tr.init_state(jax.random.PRNGKey(0))
+    st, _ = tr.fit(st, y, epochs=1, key=jax.random.PRNGKey(1))
+    cb = tr.codebook(st)
+    par = select_parents(y, 1)
+    s2 = Stage2(cfg, parents=par)
+    dist = s2.cpt(st.params, cb, y)
+
+    # manual check: prb must equal the CPT cell for the observed parent value
+    fts = jnp.asarray([0, 3], jnp.int32)
+    prb = np.asarray(get_probability(
+        st.params, cb, cfg, jnp.asarray(dist, jnp.float32),
+        jnp.asarray(y[:8]), fts, parents=jnp.asarray(par)))
+    codes = np.asarray(vqvae.encode_codes(st.params, cb,
+                                          jnp.asarray(y[:8]), cfg))
+    for i, v in enumerate([0, 3]):
+        for b in range(8):
+            j = int(y[b, par[v, 0]])
+            np.testing.assert_allclose(prb[i, b],
+                                       dist[v, codes[v, b], j], rtol=1e-6)
+
+    cmll = conditional_marginal_log_likelihood(
+        st.params, cb, cfg, dist, y[:64], p1=2, num_smp=60, burn_in=10,
+        key=jax.random.PRNGKey(0), parents=par)
+    assert np.isfinite(cmll) and cmll < 0
+
+
+def test_driver_cpt_parents_end_to_end(tmp_path):
+    base = dict(name='nltcs', embedding=8, dim=4, batch=512, epoch=1,
+                rate=0.01, ema=True, seed=0, units=(8, 6))
+    plain = run_experiment(ExperimentConfig(**base))
+    path = str(tmp_path / 'm.ckpt')
+    rich = run_experiment(ExperimentConfig(**base, cpt_parents=2,
+                                           checkpoint=path))
+    assert rich['identifier'].endswith('cptp-2')
+    # richer tables fit the train split strictly better on real data
+    assert rich['pll_train'] > plain['pll_train']
+    assert np.isfinite(rich['pll_test'])
+
+    # serving roundtrip: per-sample scores must average to the split PLL
+    from pgmvae_tpu.data import load_split
+    from pgmvae_tpu.serving import PgmModel
+    model = PgmModel.from_checkpoint(path)
+    assert model.parents is not None
+    y_test = load_split('nltcs', 'test')
+    np.testing.assert_allclose(model.score(y_test).mean(),
+                               rich['pll_test'], atol=5e-3)
