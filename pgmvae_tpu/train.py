@@ -380,7 +380,11 @@ class Trainer:
         n, bs, steps = self.n_train, self.batch_size, self.steps_per_epoch
         dtype = jnp.dtype(self.cfg.dtype)
         row_bytes = bs * self.cfg.n_var * dtype.itemsize
-        chunk = max(1, min(steps, self.stream_chunk_bytes // max(row_bytes, 1)))
+        # bounded by the byte budget AND the per-execution step cap (small
+        # rows would otherwise pack enough steps into one chunk execution
+        # to trip the remote worker's watchdog)
+        chunk = max(1, min(steps, self.stream_chunk_bytes // max(row_bytes, 1),
+                           self.MAX_STEPS_PER_EXECUTION))
         data = np.asarray(data_host, dtype)
         history = []
         for epoch in range(start_epoch, start_epoch + epochs):
