@@ -55,3 +55,37 @@ def test_run_identifier_extension_fields():
     for tag in ('qz-naive', 'un-15x14', 'fm-per_network', 'dcr-0.02', 'nzd',
                 'prc-highest'):
         assert tag in ext, tag
+
+
+def test_metric_logger_warns_when_tensorboard_unavailable(tmp_path,
+                                                          monkeypatch):
+    """Without a usable TB writer, MetricLogger must degrade to JSONL-only
+    LOUDLY (the reference's TB contract, ref run.py:39-40), not silently."""
+    import builtins
+    import warnings
+
+    real_import = builtins.__import__
+
+    def block_torch(name, *a, **kw):
+        if name.startswith('torch'):
+            raise ImportError('torch disabled for test')
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, '__import__', block_torch)
+    with warnings.catch_warnings(record=True) as got:
+        warnings.simplefilter('always')
+        logger = MetricLogger(str(tmp_path / 'run'))
+    assert logger._tb is None
+    assert any('TensorBoard' in str(w.message) for w in got)
+    logger.log_final(pll_test=-5.0)
+    logger.close()
+
+
+def test_identifier_encodes_cpt_parents():
+    base = run_identifier('nltcs', 50, 10, 128, 100, 0.01, 0.25, True,
+                          0.99, 1)
+    assert base == run_identifier('nltcs', 50, 10, 128, 100, 0.01, 0.25,
+                                  True, 0.99, 1, cpt_parents=0)
+    rich = run_identifier('nltcs', 50, 10, 128, 100, 0.01, 0.25, True,
+                          0.99, 1, cpt_parents=2)
+    assert rich == base + '_cptp-2'

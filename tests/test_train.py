@@ -1,6 +1,8 @@
 """Training-engine tests: ragged-batch masking, quantizer-mode state
 handling, loss composition and convergence."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -309,3 +311,20 @@ def test_driver_select_on_valid_picks_best_epoch():
     assert sel['pll_valid'] >= plain['pll_valid'] - 1e-9
     # identifier records the knob (no joblog aliasing)
     assert 'sov-2' in sel['identifier'] and 'sov' not in plain['identifier']
+
+
+def test_execution_cap_env_overrides():
+    """The watchdog segmentation caps must be env-var tunable (deployments
+    without the remote worker's per-execution watchdog raise them)."""
+    import subprocess
+    import sys
+    out = subprocess.run(
+        [sys.executable, '-c',
+         'import jax; jax.config.update("jax_platforms", "cpu")\n'
+         'from pgmvae_tpu.train import Trainer\n'
+         'from pgmvae_tpu import gibbs\n'
+         'print(Trainer.MAX_STEPS_PER_EXECUTION, gibbs._SEGMENT_STEPS)'],
+        env={**os.environ, 'PGMVAE_MAX_STEPS_PER_EXECUTION': '99999',
+             'PGMVAE_GIBBS_SEGMENT_STEPS': '12345'},
+        capture_output=True, text=True, timeout=300)
+    assert out.stdout.split() == ['99999', '12345'], out.stderr[-500:]
