@@ -175,6 +175,12 @@ def main() -> int:
         r = bench_model('bbc batch-lifted (bs=250)', bbc_cfg, y_bbc,
                         250, 0.003, 16)
         extras['bbc_bs250'] = r
+        # rank-1 first layer (run.py --first-layer rank1): same math, no
+        # [n,B,n] masked-input materialization (models/vqvae.py)
+        r = bench_model('bbc bs=250 + rank1 first layer',
+                        bbc_cfg._replace(first_layer='rank1'), y_bbc,
+                        250, 0.003, 16)
+        extras['bbc_bs250_rank1'] = r
 
         rng = np.random.default_rng(0)
         y_ad = rng.integers(0, 2, size=(2461, 1556)).astype(np.float32)
@@ -183,6 +189,10 @@ def main() -> int:
         r = bench_model('ad-scale synthetic (n=1556, bs=250)', ad_cfg, y_ad,
                         250, 0.001, 16)
         extras['ad_synth_bs250'] = r
+        r = bench_model('ad-scale + rank1 first layer',
+                        ad_cfg._replace(first_layer='rank1'), y_ad,
+                        250, 0.001, 16)
+        extras['ad_synth_bs250_rank1'] = r
     except Exception as e:  # noqa: BLE001 — headline metric must still print
         print(f'large-model bench failed: {type(e).__name__}: {e}',
               file=sys.stderr)

@@ -46,6 +46,8 @@ class ExperimentConfig:
     #                        stage-2 table on the values of its m highest-MI
     #                        partner variables as well as its code
     #                        (stage2.select_parents); 0 = reference semantics
+    first_layer: str = 'masked'  # first-encoder-layer implementation
+    #                        ('masked' | 'rank1' | 'auto'; models/vqvae.py)
     checkpoint: Optional[str] = None
     resume: Optional[str] = None
     data_dir: Optional[str] = None
@@ -65,7 +67,8 @@ class ExperimentConfig:
                               precision=self.precision,
                               activation=self.activation, l2_reg=self.l2_reg,
                               select_on_valid=self.select_on_valid,
-                              cpt_parents=self.cpt_parents)
+                              cpt_parents=self.cpt_parents,
+                              first_layer=self.first_layer)
 
 
 def run_packed_experiments(exps) -> list:
@@ -116,7 +119,8 @@ def run_packed_experiments(exps) -> list:
                       dead_code_threshold=base.dead_code_threshold,
                       fan_mode=base.fan_mode, vq_impl=base.vq_impl,
                       matmul_precision=base.precision,
-                      activation=base.activation, l2_reg=base.l2_reg)
+                      activation=base.activation, l2_reg=base.l2_reg,
+                      first_layer=base.first_layer)
 
     y_train = load_split(base.name, 'train', base.data_dir)
     trainer = Trainer(cfg, base.rate, base.batch, len(y_train))
@@ -230,7 +234,8 @@ def run_experiment(exp: ExperimentConfig) -> dict:
                       dead_code_threshold=exp.dead_code_threshold,
                       fan_mode=exp.fan_mode, vq_impl=exp.vq_impl,
                       matmul_precision=exp.precision,
-                      activation=exp.activation, l2_reg=exp.l2_reg)
+                      activation=exp.activation, l2_reg=exp.l2_reg,
+                      first_layer=exp.first_layer)
 
     mesh_ctx = MeshContext(None)
     if exp.mesh_data * exp.mesh_model > 1:

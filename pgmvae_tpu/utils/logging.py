@@ -23,7 +23,8 @@ def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
                    fan_mode='tf_stacked', dead_code_threshold=0.0,
                    zero_debias=True, precision='default',
                    activation='selu', l2_reg=0.0,
-                   select_on_valid=0, cpt_parents=0) -> str:
+                   select_on_valid=0, cpt_parents=0,
+                   first_layer='masked') -> str:
     """Hyperparameter-encoding run id, field-for-field the reference's
     format (reference run.py:38).
 
@@ -55,6 +56,8 @@ def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
         ext.append(f'sov-{select_on_valid}')
     if cpt_parents:
         ext.append(f'cptp-{cpt_parents}')
+    if first_layer != 'masked':
+        ext.append(f'fl-{first_layer}')
     return base + ('_' + '_'.join(ext) if ext else '')
 
 

@@ -97,6 +97,14 @@ def build_parser() -> argparse.ArgumentParser:
                    default='default',
                    help='matmul precision (default = bf16-input f32-accum '
                         'on TPU; highest = full f32)')
+    p.add_argument('--first-layer', choices=['masked', 'rank1', 'auto'],
+                   default='masked',
+                   help='first encoder layer: masked (bit-compatible '
+                        'default, materializes the [n,B,n] leave-one-out '
+                        'input), rank1 (same math, one shared full-width '
+                        'matmul + diagonal correction — skips the O(n^2 B) '
+                        'HBM traffic; the big-n throughput path), auto '
+                        '(rank1 from n_var>=256)')
     p.add_argument('--no-zero-debias', action='store_true',
                    help='plain moving average instead of the TF zero-debiased '
                         'default')
@@ -172,6 +180,7 @@ def main(argv=None) -> int:
         vq_impl=args.vq_impl,
         precision=args.precision, cmll=args.cmll,
         select_on_valid=args.select_on_valid, cpt_parents=args.cpt_parents,
+        first_layer=args.first_layer,
         checkpoint=args.checkpoint, resume=args.resume,
         data_dir=args.data_dir, verbose=args.verbose,
         log_dir=os.path.join(os.curdir, 'logs', 'tuning'))

@@ -110,6 +110,10 @@ def build_parser() -> argparse.ArgumentParser:
                         'run.py --cpt-parents; 0 = reference semantics)')
     p.add_argument('--precision', choices=['default', 'float32', 'highest'],
                    default='default')
+    p.add_argument('--first-layer', choices=['masked', 'rank1', 'auto'],
+                   default='masked',
+                   help='first encoder layer implementation (see run.py '
+                        '--first-layer)')
     p.add_argument('--data-dir', type=str, default=None)
     p.add_argument('--device', '-u', type=int, default=0,
                    help='-1 = CPU; otherwise the default accelerator '
@@ -198,7 +202,7 @@ def main(argv=None) -> int:
                          mesh_data=args.mesh_data, mesh_model=args.mesh_model,
                          vq_impl=args.vq_impl, precision=args.precision,
                          select_on_valid=args.select_on_valid,
-                         cpt_parents=cpp,
+                         cpt_parents=cpp, first_layer=args.first_layer,
                          data_dir=args.data_dir, verbose=args.verbose)
         for name, k, d, b, r, c, g, s, qz, un, fm, dcr, act, l2, cpp
         in itertools.product(

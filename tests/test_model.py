@@ -191,3 +191,63 @@ def test_l2_regularizer_shrinks_kernels():
         return float(vqvae.l2_penalty(st.params))
 
     assert norms(CFG._replace(l2_reg=0.05)) < norms(CFG)
+
+
+def test_first_layer_rank1_matches_masked():
+    """The rank-1 first layer (one shared full-width matmul + diagonal
+    correction, models/vqvae.py:_first_layer_rank1) is the same math as the
+    masked leave-one-out layer: encoder outputs agree to float tolerance,
+    full training trajectories stay equivalent, and the inert-diagonal
+    invariant survives training (the diagonal's two gradient contributions
+    cancel exactly)."""
+    from pgmvae_tpu.train import Trainer
+    rng = np.random.default_rng(7)
+    y = rng.integers(0, 2, size=(48, CFG.n_var)).astype(np.float32)
+
+    params, codebook = vqvae.init_model(jax.random.PRNGKey(3), CFG)
+    z_masked = vqvae.encode(params, jnp.asarray(y), first_layer='masked')
+    z_rank1 = vqvae.encode(params, jnp.asarray(y), first_layer='rank1')
+    np.testing.assert_allclose(np.asarray(z_rank1), np.asarray(z_masked),
+                               rtol=1e-5, atol=1e-5)
+
+    # auto: masked below the threshold, rank1 at/above it
+    assert CFG.n_var < vqvae.FIRST_LAYER_RANK1_MIN_VARS
+    z_auto = vqvae.encode(params, jnp.asarray(y), first_layer='auto')
+    np.testing.assert_array_equal(np.asarray(z_auto), np.asarray(z_masked))
+
+    def train(cfg):
+        tr = Trainer(cfg, 0.01, 16, len(y))
+        st = tr.init_state(jax.random.PRNGKey(0))
+        for e in range(4):
+            st, m = tr.run_epoch(st, jnp.asarray(y), jax.random.PRNGKey(e))
+        return st, m
+
+    st_m, m_m = train(CFG)
+    st_r, m_r = train(CFG._replace(first_layer='rank1'))
+    np.testing.assert_allclose(float(m_r.loss), float(m_m.loss),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(st_r.params),
+                    jax.tree.leaves(st_m.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+    # inert diagonal: W1[v, v, :] of the trained rank1 run == its init
+    # (the custom VJP pins the diagonal cotangent to its analytic zero)
+    from pgmvae_tpu.train import Trainer
+    st0 = Trainer(CFG, 0.01, 16, len(y)).init_state(jax.random.PRNGKey(0))
+    w0_init = np.asarray(st0.params['enc'][0][0])
+    w0_rank1 = np.asarray(st_r.params['enc'][0][0])
+    idx = np.arange(CFG.n_var)
+    np.testing.assert_array_equal(w0_rank1[idx, idx, :], w0_init[idx, idx, :])
+
+
+def test_first_layer_rank1_stage2_codes_match():
+    """encode_codes under cfg.first_layer='rank1' assigns the same discrete
+    codes as the masked path (stage 2 depends only on these indices)."""
+    cfg = CFG._replace(first_layer='rank1')
+    params, codebook = vqvae.init_model(jax.random.PRNGKey(5), CFG)
+    y = jnp.asarray(np.random.default_rng(2).integers(
+        0, 2, size=(40, CFG.n_var)).astype(np.float32))
+    c_masked = np.asarray(vqvae.encode_codes(params, codebook, y, CFG))
+    c_rank1 = np.asarray(vqvae.encode_codes(params, codebook, y, cfg))
+    np.testing.assert_array_equal(c_rank1, c_masked)
