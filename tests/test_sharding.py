@@ -148,3 +148,37 @@ def test_bbc_full_width_param_bytes_divided_across_model_axis():
             total += leaf.nbytes
     # the stacked stacks really are the multi-GB regime the guard protects
     assert total > 4e9, total
+
+
+def test_rank1_first_layer_mesh_parity():
+    """first_layer='rank1' under a (2,4) data x model mesh: the shared-y
+    einsum + diagonal correction (models/vqvae.py:_rank1_linear) must
+    shard over both axes and train to the same parameters as the
+    single-device rank1 run (GSPMD inserts the y all-gather across the
+    model axis; the custom VJP's zero-diagonal constraint must survive
+    SPMD partitioning)."""
+    cfg = CFG._replace(first_layer='rank1')
+    y = _data()
+    tr1 = Trainer(cfg, 0.01, 64, len(y))
+    s1 = tr1.init_state(jax.random.PRNGKey(0))
+    s1, m1 = tr1.run_epoch(s1, jnp.asarray(y), jax.random.PRNGKey(5))
+
+    ctx = MeshContext(make_mesh(2, 4))
+    trn = Trainer(cfg, 0.01, 64, len(y), mesh_ctx=ctx)
+    sn = trn.init_state(jax.random.PRNGKey(0))
+    sn, mn = trn.run_epoch(sn, ctx.put(jnp.asarray(y), P()),
+                           jax.random.PRNGKey(5))
+
+    np.testing.assert_allclose(float(m1.loss), float(mn.loss),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(sn.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+    # inert diagonal survives sharded training
+    w0_init = np.asarray(
+        tr1.init_state(jax.random.PRNGKey(0)).params['enc'][0][0])
+    w0_mesh = np.asarray(jax.device_get(sn.params['enc'][0][0]))
+    idx = np.arange(cfg.n_var)
+    np.testing.assert_array_equal(w0_mesh[idx, idx, :],
+                                  w0_init[idx, idx, :])
