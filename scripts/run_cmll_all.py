@@ -55,17 +55,57 @@ CELLS = {
 }
 
 
+def regen_winners(joblog: str) -> dict:
+    """Per-dataset best-valid cell from a sweep joblog, as ExperimentConfig
+    kwargs (round 3: CMLL must be evaluated on the REGENERATED tuned bests,
+    not the round-1 recipes hardcoded in CELLS)."""
+    import re
+    from collections import defaultdict
+    by_ds = defaultdict(list)
+    with open(joblog) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get('ok'):
+                by_ds[rec['identifier'].split('_K-')[0]].append(rec)
+    out = {}
+    for name, recs in by_ds.items():
+        best = max({r['identifier']: r for r in recs}.values(),
+                   key=lambda r: r['pll_valid'])
+        g = dict(re.findall(r'([A-Za-z]+)-([0-9.]+)',
+                            'K-' + best['identifier'].split('_K-', 1)[1]))
+        out[name] = dict(
+            embedding=int(g['K']), dim=int(g['D']), batch=int(g['bs']),
+            epoch=int(g['epk']), rate=float(g['lr']),
+            cost=float(g.get('bta', 0.25)), decay=float(g.get('gma', 0.99)),
+            seed=int(float(g.get('sd', 0))),
+            dead_code_threshold=float(g.get('dcr', 0.0)),
+            select_on_valid=int(float(g.get('sov', 0))))
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument('--only', type=str, default=None,
                     help='comma-separated dataset subset')
     ap.add_argument('--force', action='store_true')
+    ap.add_argument('--from-regen', type=str, default=None, metavar='JOBLOG',
+                    help='override CELLS with per-dataset best-valid winners '
+                         'from this sweep joblog (logs/regen-r3.jsonl)')
     ap.add_argument('--out', default='logs/cmll.jsonl')
     ap.add_argument('--retries', type=int, default=2,
                     help='bounded auto-retries per dataset when the remote '
                          'TPU worker crashes mid-cell (round-2 required '
                          'manual reruns)')
     args = ap.parse_args()
+
+    cells = dict(CELLS)
+    if args.from_regen:
+        for name, kw in regen_winners(args.from_regen).items():
+            print(f'{name}: recipe from regen winner {kw}', file=sys.stderr)
+            cells[name] = kw
 
     done = set()
     if os.path.exists(args.out) and not args.force:
@@ -86,7 +126,7 @@ def main() -> int:
         if name in done:
             print(f'{name}: already done, skipping', file=sys.stderr)
             continue
-        kw = dict(CELLS[name])
+        kw = dict(cells[name])
         kw.setdefault('seed', 1)
         kw.setdefault('cost', 0.25)
         kw.setdefault('decay', 0.99)
