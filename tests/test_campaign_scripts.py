@@ -1,0 +1,85 @@
+"""Campaign-script contracts: the round-3 regeneration pipeline
+(scripts/regen_report.py winner selection, scripts/run_cmll_all.py
+--from-regen recipe recovery) must reconstruct EXACTLY the recipe a
+joblog identifier encodes — the integrity bar of VERDICT r2 #1 is that
+every reported number regenerates from its identifier alone."""
+
+import importlib.util
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _write_joblog(tmp_path, records):
+    p = tmp_path / 'joblog.jsonl'
+    with open(p, 'w') as f:
+        for r in records:
+            f.write(json.dumps(r) + '\n')
+    return str(p)
+
+
+def test_from_regen_recovers_exact_recipe(tmp_path):
+    """A winner identifier round-trips into ExperimentConfig kwargs whose
+    own identifier matches — the recipe regenerates its number."""
+    rca = _load('rca', os.path.join(REPO, 'scripts', 'run_cmll_all.py'))
+    from pgmvae_tpu.driver import ExperimentConfig
+
+    ident = ('netflix_K-500_D-10_bs-128_epk-300_lr-0.001_bta-0.25_ema-True'
+             '_gma-0.99_sd-2-_dcr-0.25_sov-50')
+    joblog = _write_joblog(tmp_path, [
+        {'identifier': ident, 'ok': True, 'pll_valid': -56.0,
+         'pll_test': -56.5},
+        {'identifier': ident.replace('sd-2', 'sd-1'), 'ok': True,
+         'pll_valid': -57.0, 'pll_test': -57.2},      # worse valid
+        {'identifier': ident.replace('dcr-0.25', 'dcr-1.0'), 'ok': False},
+    ])
+    win = rca.regen_winners(joblog)
+    assert set(win) == {'netflix'}
+    exp = ExperimentConfig(name='netflix', ema=True, **win['netflix'])
+    assert exp.identifier == ident
+
+
+def test_from_regen_dedupes_reruns_last_wins(tmp_path):
+    rca = _load('rca', os.path.join(REPO, 'scripts', 'run_cmll_all.py'))
+    ident = ('plants_K-500_D-30_bs-256_epk-150_lr-0.003_bta-0.25_ema-True'
+             '_gma-0.99_sd-1-_dcr-0.1_sov-30')
+    joblog = _write_joblog(tmp_path, [
+        {'identifier': ident, 'ok': True, 'pll_valid': -99.0,
+         'pll_test': -99.0},
+        {'identifier': ident, 'ok': True, 'pll_valid': -11.0,
+         'pll_test': -11.2},                           # rerun supersedes
+    ])
+    win = rca.regen_winners(joblog)
+    assert win['plants']['dead_code_threshold'] == 0.1
+    assert win['plants']['select_on_valid'] == 30
+    assert win['plants']['seed'] == 1
+
+
+def test_regen_report_winner_by_valid(tmp_path, capsys):
+    rep = _load('rep', os.path.join(REPO, 'scripts', 'regen_report.py'))
+    base = ('pumsb_star_K-200_D-30_bs-64_epk-200_lr-0.001_bta-0.25_ema-True'
+            '_gma-0.99_sd-{s}-_dcr-{d}_sov-40')
+    joblog = _write_joblog(tmp_path, [
+        {'identifier': base.format(s=1, d=0.25), 'ok': True,
+         'pll_valid': -30.2, 'pll_test': -29.8},
+        {'identifier': base.format(s=3, d=0.5), 'ok': True,
+         'pll_valid': -30.0, 'pll_test': -29.6},       # best valid
+        {'identifier': base.format(s=2, d=1.0), 'ok': True,
+         'pll_valid': -36.8, 'pll_test': -36.4},
+    ])
+    sys.argv = ['regen_report.py', joblog]
+    rep.main()
+    out = capsys.readouterr().out
+    win = [json.loads(l) for l in out.splitlines() if l.startswith('{')]
+    assert len(win) == 1
+    assert win[0]['identifier'] == base.format(s=3, d=0.5)
+    assert win[0]['pll_test'] == -29.6
