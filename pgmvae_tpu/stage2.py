@@ -111,7 +111,6 @@ class Stage2:
                  parents: Optional[np.ndarray] = None):
         self.cfg = cfg
         self.k = cfg.effective_codes
-        self.chunk = int(chunk or auto_chunk(cfg.n_var, self.k))
         self.mesh = mesh_ctx or MeshContext(None)
         # joint-code CPTs: condition each variable's table on its code AND
         # the observed values of `parents` [active_vars, m] partner
@@ -120,12 +119,21 @@ class Stage2:
         self.n_states = 1
         if parents is not None and parents.size:
             parents = np.asarray(parents, np.int32)
+            m = parents.shape[1]
+            if not 0 < m <= 8:     # 2^m multiplies every count buffer; and
+                #                    m >= 31 would overflow the int32 powers
+                raise ValueError(f'cpt parents per variable must be in '
+                                 f'[1, 8], got {m}')
             if parents.shape[0] < cfg.n_var:     # padded variable axis:
                 parents = np.pad(                # inert rows point at var 0
                     parents,
                     ((0, cfg.n_var - parents.shape[0]), (0, 0)))
             self.parents = jnp.asarray(parents)
-            self.n_states = 1 << parents.shape[1]
+            self.n_states = 1 << m
+        # chunk budget must see the JOINT table width K * 2^m — the one-hot
+        # and count buffers scale with it (round-3 advisor finding)
+        self.chunk = int(chunk
+                         or auto_chunk(cfg.n_var, self.k * self.n_states))
         # the count accumulators are donated back into the next chunk call
         self._count_chunk = jax.jit(self._chunk_impl, donate_argnums=(2, 3))
 

@@ -61,6 +61,63 @@ def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
     return base + ('_' + '_'.join(ext) if ext else '')
 
 
+def parse_identifier(identifier: str):
+    """Invert `run_identifier` into `ExperimentConfig` kwargs — losslessly.
+
+    Campaign scripts (CMLL reruns, joint-CPT sweeps) re-run recipes recovered
+    from winner identifiers; a lossy parse silently re-measures a *different*
+    recipe (round-3 advisor finding). This parser peels the fixed-order
+    extension fields from the right, then verifies the round trip: the
+    reconstructed config's `.identifier` must be byte-identical to the input,
+    else ValueError. Returns a dict of ExperimentConfig kwargs (incl. name).
+    """
+    import re
+
+    m = re.match(
+        r'^(?P<name>.+?)_K-(?P<k>\d+)_D-(?P<d>\d+)_bs-(?P<bs>\d+)'
+        r'_epk-(?P<epk>\d+)_lr-(?P<lr>[0-9.e+-]+)_bta-(?P<bta>[0-9.e+-]+)'
+        r'_ema-(?P<ema>True|False)_gma-(?P<gma>[0-9.e+-]+)'
+        r'_sd-(?P<sd>-?\d+)-(?P<rest>.*)$', identifier)
+    if not m:
+        raise ValueError(f'unparseable identifier: {identifier!r}')
+    g = m.groupdict()
+    kw = dict(name=g['name'], embedding=int(g['k']), dim=int(g['d']),
+              batch=int(g['bs']), epoch=int(g['epk']), rate=float(g['lr']),
+              cost=float(g['bta']), ema=g['ema'] == 'True',
+              decay=float(g['gma']), seed=int(g['sd']))
+
+    # peel extensions right-to-left in reverse append order (run_identifier)
+    rest = g['rest']
+    peels = [
+        ('first_layer', r'_fl-(rank1|auto)$', str),
+        ('cpt_parents', r'_cptp-(\d+)$', int),
+        ('select_on_valid', r'_sov-(\d+)$', int),
+        ('l2_reg', r'_l2-([0-9.e+-]+)$', float),
+        ('activation', r'_act-([a-z0-9_]+)$', str),
+        ('precision', r'_prc-([a-z0-9_]+)$', str),
+        ('zero_debias', r'_(nzd)$', lambda _: False),
+        ('dead_code_threshold', r'_dcr-([0-9.e+-]+)$', float),
+        ('fan_mode', r'_fm-(per_network)$', str),
+        ('units', r'_un-([0-9x]+)$',
+         lambda v: tuple(int(u) for u in v.split('x'))),
+        ('quantizer', r'_qz-([a-z0-9_]+)$', str),
+    ]
+    for field, pat, conv in peels:
+        pm = re.search(pat, rest)
+        if pm:
+            kw[field] = conv(pm.group(1))
+            rest = rest[:pm.start()]
+    kw['note'] = rest
+
+    from pgmvae_tpu.driver import ExperimentConfig
+    rebuilt = ExperimentConfig(**kw).identifier
+    if rebuilt != identifier:
+        raise ValueError(
+            f'identifier round-trip failed (lossy parse):\n'
+            f'  input:   {identifier!r}\n  rebuilt: {rebuilt!r}')
+    return kw
+
+
 class MetricLogger:
     """Per-run observability: append-only JSONL epoch metrics under
     logs/tuning/<identifier>/, plus TensorBoard event files in the same

@@ -20,12 +20,19 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import re
 import subprocess
 import sys
 from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pgmvae_tpu.utils.logging import parse_identifier as _parse  # noqa: E402
+
+# recipe fields the run_pipeline command below forwards; a winner carrying
+# any OTHER non-default field would be silently re-run without it — refuse.
+_FORWARDED = {'name', 'embedding', 'dim', 'batch', 'epoch', 'rate', 'cost',
+              'ema', 'decay', 'seed', 'note', 'dead_code_threshold',
+              'select_on_valid'}
 
 DATASETS = ['accidents', 'pumsb_star', '50-17-8', 'students_03_02-0000']
 
@@ -46,14 +53,26 @@ def winners(joblog: str) -> dict:
 
 
 def parse_identifier(ident: str) -> dict:
-    """Recover the CLI recipe from a de-aliased run identifier."""
-    name, rest = ident.split('_K-', 1)
-    rest = 'K-' + rest
-    g = dict(re.findall(r'([A-Za-z]+)-([0-9.]+)', rest))
-    out = dict(name=name, k=g['K'], d=g['D'], b=g['bs'], e=g['epk'],
-               r=g['lr'], c=g.get('bta', '0.25'), g_=g.get('gma', '0.99'),
-               dcr=g.get('dcr', '1.0'), sov=g.get('sov', '0'))
-    return out
+    """Recover the CLI recipe from a winner identifier — via the verified
+    round-trip parser (pgmvae_tpu.utils.logging.parse_identifier), so the
+    campaign can never silently run a different recipe than the winner it
+    claims to re-measure (round-3 advisor finding). Raises ValueError on
+    any lossy parse."""
+    import dataclasses
+
+    from pgmvae_tpu.driver import ExperimentConfig
+    kw = _parse(ident)
+    defaults = {f.name: f.default for f in dataclasses.fields(ExperimentConfig)}
+    extra = {f for f, v in kw.items()
+             if f not in _FORWARDED and v != defaults.get(f, v)}
+    if extra or not kw.get('ema', False):
+        raise ValueError(f'winner {ident!r} carries recipe fields this '
+                         f'campaign does not forward: {sorted(extra)}')
+    return dict(name=kw['name'], k=str(kw['embedding']), d=str(kw['dim']),
+                b=str(kw['batch']), e=str(kw['epoch']), r=repr(kw['rate']),
+                c=repr(kw['cost']), g_=repr(kw['decay']),
+                dcr=repr(kw.get('dead_code_threshold', 0.0)),
+                sov=str(kw.get('select_on_valid', 0)))
 
 
 def main() -> int:

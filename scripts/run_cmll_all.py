@@ -58,9 +58,15 @@ CELLS = {
 def regen_winners(joblog: str) -> dict:
     """Per-dataset best-valid cell from a sweep joblog, as ExperimentConfig
     kwargs (round 3: CMLL must be evaluated on the REGENERATED tuned bests,
-    not the round-1 recipes hardcoded in CELLS)."""
-    import re
+    not the round-1 recipes hardcoded in CELLS).
+
+    Recipes are recovered with the verified round-trip parser
+    (pgmvae_tpu.utils.logging.parse_identifier): a winner whose identifier
+    cannot be reconstructed byte-identically is skipped LOUDLY rather than
+    silently re-measured at a different recipe (round-3 advisor finding)."""
     from collections import defaultdict
+
+    from pgmvae_tpu.utils.logging import parse_identifier
     by_ds = defaultdict(list)
     with open(joblog) as f:
         for line in f:
@@ -74,15 +80,15 @@ def regen_winners(joblog: str) -> dict:
     for name, recs in by_ds.items():
         best = max({r['identifier']: r for r in recs}.values(),
                    key=lambda r: r['pll_valid'])
-        g = dict(re.findall(r'([A-Za-z]+)-([0-9.]+)',
-                            'K-' + best['identifier'].split('_K-', 1)[1]))
-        out[name] = dict(
-            embedding=int(g['K']), dim=int(g['D']), batch=int(g['bs']),
-            epoch=int(g['epk']), rate=float(g['lr']),
-            cost=float(g.get('bta', 0.25)), decay=float(g.get('gma', 0.99)),
-            seed=int(float(g.get('sd', 0))),
-            dead_code_threshold=float(g.get('dcr', 0.0)),
-            select_on_valid=int(float(g.get('sov', 0))))
+        try:
+            kw = parse_identifier(best['identifier'])
+        except ValueError as e:
+            print(f'{name}: SKIPPED (unparseable winner identifier): {e}',
+                  file=sys.stderr)
+            continue
+        assert kw.pop('name') == name, (kw, name)
+        kw.pop('note', None)     # campaign note is not part of the recipe
+        out[name] = kw
     return out
 
 
@@ -130,8 +136,8 @@ def main() -> int:
         kw.setdefault('seed', 1)
         kw.setdefault('cost', 0.25)
         kw.setdefault('decay', 0.99)
-        exp = ExperimentConfig(name=name, ema=True, note=NOTE,
-                               cmll=True, **kw)
+        kw.setdefault('ema', True)
+        exp = ExperimentConfig(name=name, note=NOTE, cmll=True, **kw)
         t0 = time.time()
         for attempt in range(1 + max(args.retries, 0)):
             try:

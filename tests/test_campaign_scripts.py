@@ -44,7 +44,7 @@ def test_from_regen_recovers_exact_recipe(tmp_path):
     ])
     win = rca.regen_winners(joblog)
     assert set(win) == {'netflix'}
-    exp = ExperimentConfig(name='netflix', ema=True, **win['netflix'])
+    exp = ExperimentConfig(name='netflix', **win['netflix'])
     assert exp.identifier == ident
 
 
@@ -83,3 +83,69 @@ def test_regen_report_winner_by_valid(tmp_path, capsys):
     assert len(win) == 1
     assert win[0]['identifier'] == base.format(s=3, d=0.5)
     assert win[0]['pll_test'] == -29.6
+
+
+def test_parse_identifier_round_trips_every_field():
+    """The canonical parser (round-3 advisor fix) must invert run_identifier
+    losslessly across the full extension surface — including scientific-
+    notation rates, which the old regex parsed as 1.0."""
+    from pgmvae_tpu.driver import ExperimentConfig
+    from pgmvae_tpu.utils.logging import parse_identifier
+
+    configs = [
+        dict(name='nltcs', embedding=100, dim=10),
+        dict(name='netflix', embedding=500, dim=10, batch=128, epoch=300,
+             rate=2e-05, ema=True, seed=2, dead_code_threshold=0.25,
+             select_on_valid=50),
+        dict(name='bbc', embedding=50, dim=20, batch=25, epoch=600,
+             rate=0.003, cost=0.05, decay=0.9, seed=3,
+             fan_mode='per_network', dead_code_threshold=0.25,
+             select_on_valid=50),
+        dict(name='students_03_02-0000', embedding=500, dim=30, seed=1,
+             note='dcr-b32'),                    # aliased round-1 note form
+        dict(name='dna', embedding=200, dim=10, quantizer='naive',
+             units=(12, 10), zero_debias=False, precision='highest',
+             activation='relu', l2_reg=1e-4, cpt_parents=2,
+             first_layer='rank1'),
+    ]
+    for kw in configs:
+        exp = ExperimentConfig(**kw)
+        parsed = parse_identifier(exp.identifier)
+        assert ExperimentConfig(**parsed).identifier == exp.identifier
+        for f, v in kw.items():
+            got = parsed.get(f, None)
+            if f == 'units':
+                got = tuple(got)
+            assert got == v or (f not in parsed and not v), (f, v, parsed)
+
+
+def test_parse_identifier_rejects_garbage():
+    import pytest
+
+    from pgmvae_tpu.utils.logging import parse_identifier
+    with pytest.raises(ValueError):
+        parse_identifier('not-an-identifier')
+
+
+def test_cptp_parse_refuses_unforwarded_fields():
+    """The joint-CPT campaign must refuse winners carrying recipe fields
+    its run_pipeline command does not forward (round-3 advisor fix)."""
+    import pytest
+
+    cpt = _load('cpt', os.path.join(REPO, 'scripts', 'cptp_campaign.py'))
+    from pgmvae_tpu.driver import ExperimentConfig
+
+    ok = ExperimentConfig(name='accidents', embedding=500, dim=30, ema=True,
+                          rate=2e-05, dead_code_threshold=0.1,
+                          select_on_valid=40).identifier
+    rec = cpt.parse_identifier(ok)
+    assert rec['r'] == '2e-05' and rec['dcr'] == '0.1'
+
+    bad = ExperimentConfig(name='accidents', embedding=500, dim=30, ema=True,
+                           fan_mode='per_network').identifier
+    with pytest.raises(ValueError):
+        cpt.parse_identifier(bad)
+    no_ema = ExperimentConfig(name='accidents', embedding=500,
+                              dim=30).identifier
+    with pytest.raises(ValueError):
+        cpt.parse_identifier(no_ema)
