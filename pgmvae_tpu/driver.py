@@ -48,6 +48,14 @@ class ExperimentConfig:
     #                        (stage2.select_parents); 0 = reference semantics
     first_layer: str = 'masked'  # first-encoder-layer implementation
     #                        ('masked' | 'rank1' | 'auto'; models/vqvae.py)
+    packed_seeds: int = 1  # >1: this cell was trained as one lane of an
+    #                        S-seed vmapped device program (run_pipeline
+    #                        --pack-seeds). Encoded in the identifier (pk-S)
+    #                        because the packed program's different XLA
+    #                        tiling changes f32 accumulation order: measured
+    #                        sub-0.1-nat PLL shifts on most datasets, but a
+    #                        basin flip on bistable ones (students: packed
+    #                        -88.3 vs unpacked -150.4, logs/cmll-r3-rerun.out)
     checkpoint: Optional[str] = None
     resume: Optional[str] = None
     data_dir: Optional[str] = None
@@ -68,7 +76,8 @@ class ExperimentConfig:
                               activation=self.activation, l2_reg=self.l2_reg,
                               select_on_valid=self.select_on_valid,
                               cpt_parents=self.cpt_parents,
-                              first_layer=self.first_layer)
+                              first_layer=self.first_layer,
+                              packed_seeds=self.packed_seeds)
 
 
 def run_packed_experiments(exps) -> list:
@@ -93,6 +102,9 @@ def run_packed_experiments(exps) -> list:
     exps = list(exps)
     if not exps:
         return []
+    # the packed width is part of the cell's identity (see
+    # ExperimentConfig.packed_seeds) — normalize it to the actual width
+    exps = [_dc.replace(e, packed_seeds=len(exps)) for e in exps]
     base = exps[0]
     for e in exps[1:]:
         diff = [f.name for f in _dc.fields(base)
@@ -103,9 +115,9 @@ def run_packed_experiments(exps) -> list:
                              f'{e.identifier} differs in {diff}')
     if base.mesh_data * base.mesh_model > 1:
         raise ValueError('--pack-seeds does not compose with a device mesh')
-    if base.resume or base.checkpoint or base.cmll:
-        raise ValueError('--pack-seeds does not support resume/checkpoint/'
-                         'cmll cells; run those unpacked')
+    if base.resume or base.checkpoint:
+        raise ValueError('--pack-seeds does not support resume/checkpoint '
+                         'cells; run those unpacked')
     if len(exps) == 1:
         return [run_experiment(base)]
 
@@ -173,6 +185,19 @@ def run_packed_experiments(exps) -> list:
         pll = {split: s2.pseudo_log_likelihood(st.params, cb, y, dist)
                for split, y in (('train', y_train), ('valid', y_valid),
                                 ('test', y_test))}
+        cmll_test, cmll_wall = 1, None
+        if base.cmll:
+            # CMLL per seed, on the unpacked winner state — the model the
+            # packed cell's PLL row reports (reference Gibbs settings,
+            # run_experiment's exp.cmll path)
+            from pgmvae_tpu.gibbs import conditional_marginal_log_likelihood
+            y_test_j = jnp.asarray(y_test)
+            tc = time.time()
+            cmll_test = conditional_marginal_log_likelihood(
+                st.params, cb, cfg, dist, y_test_j,
+                p1=max(info.n_var // 10, 1), num_smp=3000, burn_in=150,
+                key=jax.random.PRNGKey(exp.seed), parents=parents)
+            cmll_wall = round(time.time() - tc, 3)
         # samples_per_sec keeps the unpacked meaning (this cell's samples
         # over the shared train wall); the S-seed aggregate gets its own key
         # so joblog consumers can't confuse the two
@@ -180,7 +205,7 @@ def run_packed_experiments(exps) -> list:
         res = {
             'identifier': exp.identifier,
             'pll_train': pll['train'], 'pll_valid': pll['valid'],
-            'pll_test': pll['test'], 'cmll_test': 1,
+            'pll_test': pll['test'], 'cmll_test': cmll_test,
             'train_wall': round(train_wall, 3),
             'eval_wall': round(time.time() - t1, 3),
             'samples_per_sec': round(per_cell, 1),
@@ -190,6 +215,8 @@ def run_packed_experiments(exps) -> list:
         }
         if base.select_on_valid > 0:
             res['best_epoch'] = best[s][2]
+        if cmll_wall is not None:
+            res['cmll_wall'] = cmll_wall
         results.append(res)
     return results
 
@@ -212,6 +239,13 @@ def run_experiment(exp: ExperimentConfig) -> dict:
     from pgmvae_tpu.train import Trainer
     from pgmvae_tpu.utils import MetricLogger
 
+    if exp.packed_seeds > 1:
+        raise ValueError(
+            f'{exp.identifier}: pk-{exp.packed_seeds} identifiers record a '
+            f'packed-program trajectory; regenerate with '
+            f'run_packed_experiments / run_pipeline --pack-seeds '
+            f'{exp.packed_seeds} (unpacked training follows a numerically '
+            f'different trajectory)')
     if exp.name not in REGISTRY:
         raise KeyError(f"unknown dataset '{exp.name}'; available: "
                        f"{', '.join(sorted(REGISTRY))}")

@@ -24,7 +24,7 @@ def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
                    zero_debias=True, precision='default',
                    activation='selu', l2_reg=0.0,
                    select_on_valid=0, cpt_parents=0,
-                   first_layer='masked') -> str:
+                   first_layer='masked', packed_seeds=1) -> str:
     """Hyperparameter-encoding run id, field-for-field the reference's
     format (reference run.py:38).
 
@@ -58,6 +58,10 @@ def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
         ext.append(f'cptp-{cpt_parents}')
     if first_layer != 'masked':
         ext.append(f'fl-{first_layer}')
+    if packed_seeds and packed_seeds > 1:
+        # the cell ran as one lane of an S-seed vmapped program — a
+        # numerically distinct trajectory (ExperimentConfig.packed_seeds)
+        ext.append(f'pk-{packed_seeds}')
     return base + ('_' + '_'.join(ext) if ext else '')
 
 
@@ -89,6 +93,7 @@ def parse_identifier(identifier: str):
     # peel extensions right-to-left in reverse append order (run_identifier)
     rest = g['rest']
     peels = [
+        ('packed_seeds', r'_pk-(\d+)$', int),
         ('first_layer', r'_fl-(rank1|auto)$', str),
         ('cpt_parents', r'_cptp-(\d+)$', int),
         ('select_on_valid', r'_sov-(\d+)$', int),

@@ -95,8 +95,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help='re-run cells whose last outcome was a failure')
     p.add_argument('--pack-seeds', type=int, default=1, metavar='S',
                    help='vmap up to S cells differing only in --seed into '
-                        'ONE device program (identical per-seed results, '
-                        '~Sx aggregate throughput at low chip utilization)')
+                        'ONE device program. Packed cells are recorded '
+                        'under pk-S identifiers: the packed program is a '
+                        'numerically distinct trajectory (f32 accumulation '
+                        'order), and its throughput gain only materializes '
+                        'when single cells underutilize the chip '
+                        '(measured: logs/bench_packed.jsonl)')
+    p.add_argument('--cmll', action='store_true',
+                   help='evaluate CMLL via blockwise Gibbs on the test '
+                        'split (reference run.py:74 settings); composes '
+                        'with --pack-seeds (per-seed chains)')
     p.add_argument('--result-file', type=str, default='result.txt')
     p.add_argument('--mesh-data', type=int, default=1)
     p.add_argument('--mesh-model', type=int, default=1)
@@ -203,6 +211,7 @@ def main(argv=None) -> int:
                          vq_impl=args.vq_impl, precision=args.precision,
                          select_on_valid=args.select_on_valid,
                          cpt_parents=cpp, first_layer=args.first_layer,
+                         cmll=args.cmll,
                          data_dir=args.data_dir, verbose=args.verbose)
         for name, k, d, b, r, c, g, s, qz, un, fm, dcr, act, l2, cpp
         in itertools.product(
@@ -214,10 +223,6 @@ def main(argv=None) -> int:
 
     os.makedirs(os.path.dirname(os.path.abspath(args.joblog)), exist_ok=True)
     status = load_joblog(args.joblog)
-    done = sum(1 for c in cells
-               if status.get(c.identifier, {}).get('ok', False))
-    print(f'sweep: {len(cells)} cells ({done} already done, '
-          f'joblog {args.joblog})', file=sys.stderr)
 
     pack = max(args.pack_seeds, 1)
     if pack > 1 and args.mesh_data * args.mesh_model > 1:
@@ -225,6 +230,12 @@ def main(argv=None) -> int:
               'running cells unpacked', file=sys.stderr)
         pack = 1
     groups = group_packed(cells, pack)
+    done = sum(
+        1 for g in groups for c in g
+        if any(status.get(dataclasses.replace(c, packed_seeds=s).identifier,
+                          {}).get('ok', False) for s in {1, len(g)}))
+    print(f'sweep: {len(cells)} cells ({done} already done, '
+          f'joblog {args.joblog})', file=sys.stderr)
 
     failures = 0
     n_run = 0
@@ -232,7 +243,16 @@ def main(argv=None) -> int:
         for group in groups:
             todo = []
             for cell in group:
-                prev = status.get(cell.identifier)
+                # a done cell may be recorded under its unpacked identifier
+                # OR a pk-S one (S = the group width it actually ran at);
+                # legacy joblogs predate the pk field entirely
+                prev = None
+                for s in {1, len(group)}:
+                    ident = dataclasses.replace(
+                        cell, packed_seeds=s).identifier
+                    if ident in status:
+                        prev = status[ident]
+                        break
                 if prev is not None:
                     if prev.get('ok'):
                         continue
@@ -253,7 +273,9 @@ def main(argv=None) -> int:
                                if args.isolate else run_experiment(todo[0])]
                 for cell, res in zip(todo, results):
                     n_run += 1
-                    rec = {'identifier': cell.identifier, 'ts': int(t0),
+                    # res['identifier'] carries the pk-S field when the
+                    # cell actually ran packed — record THAT identity
+                    rec = {'identifier': res['identifier'], 'ts': int(t0),
                            'ok': True,
                            **{k: v for k, v in res.items()
                               if k != 'identifier'},
@@ -262,7 +284,7 @@ def main(argv=None) -> int:
                     append_result(res['identifier'], res['pll_train'],
                                   res['pll_valid'], res['pll_test'],
                                   res['cmll_test'], path=args.result_file)
-                    print(f"[{n_run}/{len(cells)}] {cell.identifier} "
+                    print(f"[{n_run}/{len(cells)}] {res['identifier']} "
                           f"pll-test={res['pll_test']:.5f} "
                           f"(paper {res['paper_pll']:.2f}) "
                           f"{res['train_wall']:.1f}s", file=sys.stderr)

@@ -115,39 +115,40 @@ def main() -> int:
         return state, m.loss
 
     def timed(name, fn, state):
+        # ONE live state copy throughout: the runner donates its input and
+        # the trajectory simply continues across reps (timing is invariant
+        # to the state's values) — at bbc scale the state is ~3.8 GB, so
+        # holding a template + working copy OOMs the chip
         @functools.partial(jax.jit, donate_argnums=(0,))
         def runner(state, yb, w, key):
             def body(st, i):
                 return fn(st, yb, w, jax.random.fold_in(key, i))
             return jax.lax.scan(body, state, jnp.arange(args.steps))
 
-        st = jax.tree.map(jnp.copy, state)       # keep the template alive
-        st, ls = runner(st, yb, w, jax.random.PRNGKey(0))   # compile+warm
+        state, ls = runner(state, yb, w, jax.random.PRNGKey(0))  # compile
         jax.device_get(ls)
         best = float('inf')
         for r in range(args.reps):
-            st2 = jax.tree.map(jnp.copy, st)
             t0 = time.time()
-            st2, ls = runner(st2, yb, w, jax.random.PRNGKey(r))
+            state, ls = runner(state, yb, w, jax.random.PRNGKey(r))
             jax.device_get(ls)
             best = min(best, (time.time() - t0) / args.steps)
         print(f'{name:8s} {best * 1e3:8.2f} ms/step', flush=True)
-        return best
+        return state, best
 
     results = {}
-    results['fwd'] = timed('fwd', phase_fwd, state)
-    results['grad'] = timed('grad', phase_grad, state)
-    results['adam'] = timed('+adam', phase_adam, state)
-    results['ema'] = timed('+ema', phase_ema, state)
-    results['full'] = timed('full', phase_full, state)
+    state, results['fwd'] = timed('fwd', phase_fwd, state)
+    state, results['grad'] = timed('grad', phase_grad, state)
+    state, results['adam'] = timed('+adam', phase_adam, state)
+    state, results['ema'] = timed('+ema', phase_ema, state)
+    state, results['full'] = timed('full', phase_full, state)
 
     # production epoch program, per-step
     data = jnp.asarray(y)
-    st = jax.tree.map(jnp.copy, state)
-    st, m = trainer.run_epochs(st, data, jax.random.PRNGKey(0), 0, 4)
+    state, m = trainer.run_epochs(state, data, jax.random.PRNGKey(0), 0, 4)
     jax.device_get(m)
     t0 = time.time()
-    st, m = trainer.run_epochs(st, data, jax.random.PRNGKey(1), 0, 4)
+    state, m = trainer.run_epochs(state, data, jax.random.PRNGKey(1), 0, 4)
     jax.device_get(m)
     per_step = (time.time() - t0) / (4 * trainer.steps_per_epoch)
     results['epoch'] = per_step

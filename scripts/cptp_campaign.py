@@ -32,7 +32,9 @@ from pgmvae_tpu.utils.logging import parse_identifier as _parse  # noqa: E402
 # any OTHER non-default field would be silently re-run without it — refuse.
 _FORWARDED = {'name', 'embedding', 'dim', 'batch', 'epoch', 'rate', 'cost',
               'ema', 'decay', 'seed', 'note', 'dead_code_threshold',
-              'select_on_valid'}
+              'select_on_valid',
+              'packed_seeds'}   # the campaign itself packs 3 seeds, same
+#                                 width as the regen campaign's pk-3 cells
 
 DATASETS = ['accidents', 'pumsb_star', '50-17-8', 'students_03_02-0000']
 

@@ -19,7 +19,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pgmvae_tpu.driver import ExperimentConfig, run_experiment  # noqa: E402
+from pgmvae_tpu.driver import (ExperimentConfig, run_experiment,  # noqa: E402
+                               run_packed_experiments)
 
 NOTE = 'cmll-r3'
 
@@ -88,6 +89,21 @@ def regen_winners(joblog: str) -> dict:
             continue
         assert kw.pop('name') == name, (kw, name)
         kw.pop('note', None)     # campaign note is not part of the recipe
+        if kw.get('packed_seeds', 1) > 1:
+            # a pk-S winner only regenerates inside its packed program:
+            # recover the group's seed set from its joblog siblings so the
+            # CMLL run can rebuild the exact program
+            ref = {f: v for f, v in kw.items() if f != 'seed'}
+            sibs = set()
+            for r in recs:
+                try:
+                    k2 = parse_identifier(r['identifier'])
+                except ValueError:
+                    continue
+                k2.pop('name'), k2.pop('note', None)
+                if {f: v for f, v in k2.items() if f != 'seed'} == ref:
+                    sibs.add(k2['seed'])
+            kw['_pack_group_seeds'] = sorted(sibs)
         out[name] = kw
     return out
 
@@ -137,11 +153,26 @@ def main() -> int:
         kw.setdefault('cost', 0.25)
         kw.setdefault('decay', 0.99)
         kw.setdefault('ema', True)
-        exp = ExperimentConfig(name=name, note=NOTE, cmll=True, **kw)
+        group_seeds = kw.pop('_pack_group_seeds', None)
+        if group_seeds:
+            # pk-S winner: rebuild the exact packed program (same width,
+            # same seed lanes) and keep the winner seed's record
+            exps = [ExperimentConfig(name=name, note=NOTE, cmll=True,
+                                     **{**kw, 'seed': s})
+                    for s in group_seeds]
+            target = group_seeds.index(kw['seed'])
+
+            def run_cell():
+                return run_packed_experiments(exps)[target]
+        else:
+            exp = ExperimentConfig(name=name, note=NOTE, cmll=True, **kw)
+
+            def run_cell():
+                return run_experiment(exp)
         t0 = time.time()
         for attempt in range(1 + max(args.retries, 0)):
             try:
-                res = run_experiment(exp)
+                res = run_cell()
                 rec = {'name': name, 'ok': True, **res,
                        'wall': round(time.time() - t0, 1)}
                 break

@@ -103,6 +103,9 @@ def test_parse_identifier_round_trips_every_field():
              select_on_valid=50),
         dict(name='students_03_02-0000', embedding=500, dim=30, seed=1,
              note='dcr-b32'),                    # aliased round-1 note form
+        dict(name='students_03_02-0000', embedding=500, dim=30, seed=1,
+             ema=True, dead_code_threshold=0.1, select_on_valid=100,
+             packed_seeds=3),                    # packed-program identity
         dict(name='dna', embedding=200, dim=10, quantizer='naive',
              units=(12, 10), zero_debias=False, precision='highest',
              activation='relu', l2_reg=1e-4, cpt_parents=2,

@@ -1,9 +1,13 @@
 """Packed-seed sweep cells (`run_pipeline.py --pack-seeds`).
 
 A seed sweep is the same compiled program with a different PRNG key; packing
-vmaps S seeds' training states into ONE device program. These tests pin the
-contract that makes packing safe to use for the tuned-table campaigns:
-per-seed results are identical to unpacked `run_experiment` runs.
+vmaps S seeds' training states into ONE device program. On CPU per-seed
+results match unpacked `run_experiment` runs to float tolerance; on TPU the
+packed program's different XLA tiling changes f32 accumulation order enough
+to shift PLL by ~0.1 nat (and flip basins on bistable datasets — measured:
+students packed -88.3 vs unpacked -150.4, logs/cmll-r3-rerun.out). Packed
+cells therefore carry their width in the identifier (pk-S,
+ExperimentConfig.packed_seeds) and only regenerate through the packed path.
 """
 
 import numpy as np
@@ -24,7 +28,8 @@ def test_packed_matches_unpacked_per_seed():
     assert len(packed) == 3
     for exp, pres in zip(exps, packed):
         res = run_experiment(exp)
-        assert pres['identifier'] == res['identifier']
+        # the packed cell records its packed identity
+        assert pres['identifier'] == res['identifier'] + '_pk-3'
         for k in ('pll_train', 'pll_valid', 'pll_test'):
             np.testing.assert_allclose(pres[k], res[k], rtol=0, atol=2e-4)
         assert pres['packed_seeds'] == 3
@@ -51,13 +56,22 @@ def test_packed_rejects_heterogeneous_cells():
         run_packed_experiments(exps)
 
 
-def test_packed_rejects_mesh_and_cmll():
+def test_packed_rejects_mesh_and_resume():
     with pytest.raises(ValueError, match='device mesh'):
         run_packed_experiments(
             [ExperimentConfig(**BASE, seed=s, mesh_data=2) for s in (0, 1)])
     with pytest.raises(ValueError, match='unpacked'):
         run_packed_experiments(
-            [ExperimentConfig(**BASE, seed=s, cmll=True) for s in (0, 1)])
+            [ExperimentConfig(**BASE, seed=s, resume='x.ckpt')
+             for s in (0, 1)])
+
+
+def test_unpacked_run_refuses_pk_identifier():
+    """A pk-S config records a packed-program trajectory; regenerating it
+    unpacked would silently produce a different model (the students basin
+    flip), so run_experiment refuses."""
+    with pytest.raises(ValueError, match='pack'):
+        run_experiment(ExperimentConfig(**BASE, seed=1, packed_seeds=3))
 
 
 def test_group_packed_partitions_grid():
