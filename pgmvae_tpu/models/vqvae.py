@@ -78,11 +78,16 @@ class VqVaeConfig(NamedTuple):
     #                              encoder layer applies leave-one-out. See
     #                              _first_layer_rank1 — identical math,
     #                              'rank1' skips the [n, B, n] masked-input
-    #                              materialization (an HBM-traffic win that
-    #                              grows with n_var^2). 'auto' picks rank1
-    #                              at n_var >= FIRST_LAYER_RANK1_MIN_VARS.
-    #                              Default 'masked': bit-compatible with all
-    #                              recorded identifiers; opt in per run.
+    #                              materialization. MEASURED (BENCH_r03,
+    #                              confirmed r4 anatomy): masked is FASTER
+    #                              at every benchmarked shape (bbc bs=250
+    #                              +15%, ad bs=250 +8%) because XLA fuses
+    #                              the iota-mask broadcast into the matmul
+    #                              operand read, so the traffic rank1
+    #                              targets largely never exists. rank1 is
+    #                              the out-of-memory fallback: 'auto' keeps
+    #                              masked unless the [n, B, n] buffer would
+    #                              exceed FIRST_LAYER_RANK1_BYTES of HBM.
 
     @property
     def effective_codes(self) -> int:
@@ -210,7 +215,11 @@ def _dense_stack(layers, x, activation):
     return x
 
 
-FIRST_LAYER_RANK1_MIN_VARS = 256
+# 'auto' switches the first layer to rank1 only when the masked design's
+# [n, B, n] f32 buffer would exceed this HBM budget (v5e: 16 GB total;
+# the buffer appears ~3x across fwd + bwd). Below it, masked is measured
+# faster at every benchmarked shape (see VqVaeConfig.first_layer).
+FIRST_LAYER_RANK1_BYTES = 4 << 30
 
 
 @jax.custom_vjp
@@ -283,7 +292,8 @@ def encode(params, y: jax.Array,
     if var_ids is None and y.ndim == 2 and (
             first_layer == 'rank1'
             or (first_layer == 'auto'
-                and n_var >= FIRST_LAYER_RANK1_MIN_VARS)):
+                and 4 * n_var * y.shape[0] * n_var
+                > FIRST_LAYER_RANK1_BYTES)):
         x = _first_layer_rank1(w0, params['enc'][0][1], y, act)
         return _dense_stack(params['enc'][1:], x, act)
     mask = loo_mask(n_var, var_ids, y.dtype)

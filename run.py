@@ -100,11 +100,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--first-layer', choices=['masked', 'rank1', 'auto'],
                    default='masked',
                    help='first encoder layer: masked (bit-compatible '
-                        'default, materializes the [n,B,n] leave-one-out '
-                        'input), rank1 (same math, one shared full-width '
-                        'matmul + diagonal correction — skips the O(n^2 B) '
-                        'HBM traffic; the big-n throughput path), auto '
-                        '(rank1 from n_var>=256)')
+                        'default; measured fastest at every benchmarked '
+                        'shape — XLA fuses the leave-one-out mask into the '
+                        'matmul operand read), rank1 (same math, one shared '
+                        'full-width matmul + diagonal correction; the '
+                        'out-of-memory fallback for huge n_var*batch), '
+                        'auto (rank1 only when the [n,B,n] buffer would '
+                        'exceed ~4 GiB of HBM)')
     p.add_argument('--no-zero-debias', action='store_true',
                    help='plain moving average instead of the TF zero-debiased '
                         'default')
