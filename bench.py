@@ -169,18 +169,24 @@ def main() -> int:
             n_var=1058, units=REGISTRY['bbc'].encoder_units(20), dim=20,
             num_codes=50, cost=0.05, decay=0.9, quantizer='ema',
             dead_code_threshold=0.25, fan_mode='per_network')
-        r = bench_model('bbc tuned recipe (bs=25)', bbc_cfg, y_bbc,
+        # the recipe behind the RESULTS.md flagship quality row (test PLL
+        # -255.648 > the reference's recorded -255.841)
+        r = bench_model('bbc quality recipe (bs=25)', bbc_cfg, y_bbc,
                         25, 0.003, 8)
-        extras['bbc_bs25'] = r
+        extras['bbc_quality_recipe'] = {
+            'identifier': 'bbc_K-50_D-20_bs-25_epk-600_lr-0.003_bta-0.05'
+                          '_ema-True_gma-0.9_sd-3-_fm-per_network_dcr-0.25'
+                          '_sov-50',
+            'pll_test_recorded': -255.648, **r}
         r = bench_model('bbc batch-lifted (bs=250)', bbc_cfg, y_bbc,
                         250, 0.003, 16)
-        extras['bbc_bs250'] = r
-        # rank-1 first layer (run.py --first-layer rank1): same math, no
-        # [n,B,n] masked-input materialization (models/vqvae.py)
+        extras['bbc_throughput_bs250'] = r
+        # rank-1 first layer: the out-of-memory fallback (measured slower
+        # than masked at every fitting shape; docs/design.md)
         r = bench_model('bbc bs=250 + rank1 first layer',
                         bbc_cfg._replace(first_layer='rank1'), y_bbc,
                         250, 0.003, 16)
-        extras['bbc_bs250_rank1'] = r
+        extras['bbc_bs250_rank1_fallback'] = r
 
         rng = np.random.default_rng(0)
         y_ad = rng.integers(0, 2, size=(2461, 1556)).astype(np.float32)
@@ -188,11 +194,7 @@ def main() -> int:
                              dim=30, num_codes=20, quantizer='ema')
         r = bench_model('ad-scale synthetic (n=1556, bs=250)', ad_cfg, y_ad,
                         250, 0.001, 16)
-        extras['ad_synth_bs250'] = r
-        r = bench_model('ad-scale + rank1 first layer',
-                        ad_cfg._replace(first_layer='rank1'), y_ad,
-                        250, 0.001, 16)
-        extras['ad_synth_bs250_rank1'] = r
+        extras['ad_throughput_bs250'] = r
     except Exception as e:  # noqa: BLE001 — headline metric must still print
         print(f'large-model bench failed: {type(e).__name__}: {e}',
               file=sys.stderr)
@@ -203,6 +205,7 @@ def main() -> int:
         'value': round(samples_per_sec, 1),
         'unit': 'samples/sec/chip',
         'vs_baseline': round(samples_per_sec / baseline_sps, 2),
+        'nltcs_dispatch_bound_sps': round(samples_per_sec, 1),
         **extras,
     }))
     return 0
