@@ -56,6 +56,9 @@ class ExperimentConfig:
     #                        sub-0.1-nat PLL shifts on most datasets, but a
     #                        basin flip on bistable ones (students: packed
     #                        -88.3 vs unpacked -150.4, logs/cmll-r3-rerun.out)
+    adam_impl: str = 'optax'  # 'fused'/'pallas': single-pass Adam update
+    #                        (ops/fused_adam.py) — same math, ~1 ULP/step
+    #                        XLA-fusion drift vs optax, so identifier-encoded
     checkpoint: Optional[str] = None
     resume: Optional[str] = None
     data_dir: Optional[str] = None
@@ -77,7 +80,8 @@ class ExperimentConfig:
                               select_on_valid=self.select_on_valid,
                               cpt_parents=self.cpt_parents,
                               first_layer=self.first_layer,
-                              packed_seeds=self.packed_seeds)
+                              packed_seeds=self.packed_seeds,
+                              adam_impl=self.adam_impl)
 
 
 def run_packed_experiments(exps) -> list:
@@ -135,7 +139,8 @@ def run_packed_experiments(exps) -> list:
                       first_layer=base.first_layer)
 
     y_train = load_split(base.name, 'train', base.data_dir)
-    trainer = Trainer(cfg, base.rate, base.batch, len(y_train))
+    trainer = Trainer(cfg, base.rate, base.batch, len(y_train),
+                      adam_impl=base.adam_impl)
     parents = None
     if base.cpt_parents > 0:
         from pgmvae_tpu.stage2 import select_parents
@@ -282,7 +287,7 @@ def run_experiment(exp: ExperimentConfig) -> dict:
 
     y_train = load_split(exp.name, 'train', exp.data_dir)
     trainer = Trainer(cfg, exp.rate, exp.batch, len(y_train),
-                      mesh_ctx=mesh_ctx)
+                      mesh_ctx=mesh_ctx, adam_impl=exp.adam_impl)
     key = jax.random.PRNGKey(exp.seed)
     state = trainer.init_state(key)
     if exp.resume:

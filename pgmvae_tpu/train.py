@@ -41,6 +41,7 @@ import optax
 
 from pgmvae_tpu.models import vqvae
 from pgmvae_tpu.ops import quantizer as q
+from pgmvae_tpu.ops.fused_adam import fused_adam
 from pgmvae_tpu.parallel.mesh import MeshContext, shard_leading_axis
 
 
@@ -83,7 +84,8 @@ class Trainer:
                  mesh_ctx: Optional[MeshContext] = None,
                  adam_eps: float = 1e-7,
                  stream_bytes: int = 4 << 30,
-                 stream_chunk_bytes: int = 64 << 20):
+                 stream_chunk_bytes: int = 64 << 20,
+                 adam_impl: Optional[str] = None):
         self.cfg = cfg
         self.batch_size = int(batch_size)
         self.n_train = int(n_train)
@@ -100,6 +102,22 @@ class Trainer:
         # differ only in lr (or schedules/resume) share one compiled program
         self.optimizer = optax.inject_hyperparams(optax.adam)(
             learning_rate=learning_rate, eps=adam_eps)
+        # Fused single-pass Adam (ops/fused_adam.py): same state pytree and
+        # same math, but the moment updates, bias correction, and parameter
+        # write are one fused pass over HBM instead of optax's update+apply
+        # two-step (the dominant step cost at bbc scale —
+        # scripts/bench_step_anatomy.py). NOT bit-identical to the optax
+        # path inside jit (different fusion shapes contract FMAs
+        # differently, ~1 ULP/step), so the default stays 'optax': every
+        # recorded identifier regenerates its exact number. Opt in with
+        # $PGMVAE_ADAM_IMPL or ExperimentConfig.adam_impl ('fused' |
+        # 'pallas'), which the identifier records (ad-fused / ad-pallas).
+        self.adam_impl = adam_impl or os.environ.get(
+            'PGMVAE_ADAM_IMPL', 'optax')
+        if self.adam_impl != 'optax':
+            self._fused_adam = fused_adam(
+                learning_rate, eps=adam_eps,
+                impl='pallas' if self.adam_impl == 'pallas' else 'xla')
         self._run_epoch = jax.jit(self._epoch_impl, donate_argnums=(0,))
         self._run_epochs = jax.jit(self._epochs_impl, donate_argnums=(0,),
                                    static_argnums=(4,))
@@ -167,9 +185,13 @@ class Trainer:
 
         (loss, (out, mse)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        updates, opt_state = self.optimizer.update(
-            grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        if self.adam_impl == 'optax':
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+        else:
+            params, opt_state = self._fused_adam.apply(
+                grads, state.opt_state, state.params)
 
         ema = state.ema
         counts, _dw = None, None

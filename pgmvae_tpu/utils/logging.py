@@ -24,7 +24,8 @@ def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
                    zero_debias=True, precision='default',
                    activation='selu', l2_reg=0.0,
                    select_on_valid=0, cpt_parents=0,
-                   first_layer='masked', packed_seeds=1) -> str:
+                   first_layer='masked', packed_seeds=1,
+                   adam_impl='optax') -> str:
     """Hyperparameter-encoding run id, field-for-field the reference's
     format (reference run.py:38).
 
@@ -62,6 +63,11 @@ def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
         # the cell ran as one lane of an S-seed vmapped program — a
         # numerically distinct trajectory (ExperimentConfig.packed_seeds)
         ext.append(f'pk-{packed_seeds}')
+    if adam_impl != 'optax':
+        # fused/pallas Adam (ops/fused_adam.py): same math, different XLA
+        # fusion shape -> ~1 ULP/step drift vs optax, so it is part of the
+        # cell's numeric identity
+        ext.append(f'ad-{adam_impl}')
     return base + ('_' + '_'.join(ext) if ext else '')
 
 
@@ -93,6 +99,7 @@ def parse_identifier(identifier: str):
     # peel extensions right-to-left in reverse append order (run_identifier)
     rest = g['rest']
     peels = [
+        ('adam_impl', r'_ad-(fused|pallas)$', str),
         ('packed_seeds', r'_pk-(\d+)$', int),
         ('first_layer', r'_fl-(rank1|auto)$', str),
         ('cpt_parents', r'_cptp-(\d+)$', int),

@@ -107,6 +107,12 @@ def build_parser() -> argparse.ArgumentParser:
                         'out-of-memory fallback for huge n_var*batch), '
                         'auto (rank1 only when the [n,B,n] buffer would '
                         'exceed ~4 GiB of HBM)')
+    p.add_argument('--adam-impl', choices=['optax', 'fused', 'pallas'],
+                   default='optax',
+                   help='Adam update implementation: optax (bit-compatible '
+                        'default), fused (single-pass HBM update, same math '
+                        'but ~1 ULP/step XLA-fusion drift — recorded in the '
+                        'identifier as ad-fused), pallas (explicit kernel)')
     p.add_argument('--no-zero-debias', action='store_true',
                    help='plain moving average instead of the TF zero-debiased '
                         'default')
@@ -182,7 +188,7 @@ def main(argv=None) -> int:
         vq_impl=args.vq_impl,
         precision=args.precision, cmll=args.cmll,
         select_on_valid=args.select_on_valid, cpt_parents=args.cpt_parents,
-        first_layer=args.first_layer,
+        first_layer=args.first_layer, adam_impl=args.adam_impl,
         checkpoint=args.checkpoint, resume=args.resume,
         data_dir=args.data_dir, verbose=args.verbose,
         log_dir=os.path.join(os.curdir, 'logs', 'tuning'))

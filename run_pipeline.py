@@ -122,6 +122,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default='masked',
                    help='first encoder layer implementation (see run.py '
                         '--first-layer)')
+    p.add_argument('--adam-impl', choices=['optax', 'fused', 'pallas'],
+                   default='optax',
+                   help='Adam update implementation (see run.py '
+                        '--adam-impl; non-default is identifier-encoded)')
     p.add_argument('--data-dir', type=str, default=None)
     p.add_argument('--device', '-u', type=int, default=0,
                    help='-1 = CPU; otherwise the default accelerator '
@@ -211,6 +215,7 @@ def main(argv=None) -> int:
                          vq_impl=args.vq_impl, precision=args.precision,
                          select_on_valid=args.select_on_valid,
                          cpt_parents=cpp, first_layer=args.first_layer,
+                         adam_impl=args.adam_impl,
                          cmll=args.cmll,
                          data_dir=args.data_dir, verbose=args.verbose)
         for name, k, d, b, r, c, g, s, qz, un, fm, dcr, act, l2, cpp

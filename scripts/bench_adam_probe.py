@@ -29,9 +29,16 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument('--steps', type=int, default=20)
     ap.add_argument('--reps', type=int, default=3)
+    ap.add_argument('--small', action='store_true',
+                    help='tiny shapes (CPU smoke test)')
+    ap.add_argument('--cpu', action='store_true',
+                    help='force the CPU backend (the axon plugin overrides '
+                         'JAX_PLATFORMS=cpu; this uses jax.config instead)')
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
     import optax
 
@@ -39,7 +46,7 @@ def main() -> int:
     enable_compilation_cache()
 
     # bbc-scale parameter stack: [1058,1058,111] + 3x[1058,111,111] + ...
-    n, u, d = 1058, 111, 20
+    n, u, d = (32, 16, 4) if args.small else (1058, 111, 20)
     shapes = ([(n, n, u)] + [(n, u, u)] * 3 + [(n, u, d)]
               + [(n, d, u)] + [(n, u, u)] * 3 + [(n, u, n)])
     key = jax.random.PRNGKey(0)
@@ -124,6 +131,25 @@ def main() -> int:
                    [jnp.zeros_like(p) for p in params],
                    [jnp.zeros_like(p) for p in params],
                    jnp.zeros((), jnp.int32)), run_manual)
+
+    # the production fused path (ops/fused_adam.py) — what --adam-impl
+    # fused/pallas actually runs, including state-structure overhead
+    from pgmvae_tpu.ops.fused_adam import fused_adam
+    for impl in ('xla', 'pallas'):
+        fa = fused_adam(3e-3, eps=1e-7, impl=impl,
+                        interpret=args.cpu)
+
+        def run_fa(carry, grads, fa=fa):
+            def body(c, _):
+                p2, s2 = fa.apply(grads, c[1], c[0])
+                return (p2, s2), jnp.zeros(())
+            c, o = jax.lax.scan(body, carry, jnp.arange(args.steps))
+            return c, o[-1]
+
+        results[f'fused_{impl}'] = timed(
+            f'fused-{impl}', ([jnp.copy(p) for p in params],
+                              fa.init([jnp.copy(p) for p in params])),
+            run_fa)
 
     print(json.dumps({k: round(v * 1e3, 3) for k, v in results.items()}))
     return 0
