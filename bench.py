@@ -52,14 +52,16 @@ def train_flops_per_sample(cfg) -> float:
     return 3.0 * fwd
 
 
-def bench_model(label, cfg, data_host, batch, lr, epochs) -> dict:
+def bench_model(label, cfg, data_host, batch, lr, epochs,
+                adam_impl='optax') -> dict:
     """Steady-state drained throughput + MFU for one model config."""
     import jax
     import jax.numpy as jnp
 
     from pgmvae_tpu.train import Trainer
 
-    trainer = Trainer(cfg, lr, batch, len(data_host))
+    trainer = Trainer(cfg, lr, batch, len(data_host),
+                      adam_impl=adam_impl)
     state = trainer.init_state(jax.random.PRNGKey(1))
     data = jnp.asarray(data_host, jnp.float32)
 
@@ -181,6 +183,11 @@ def main() -> int:
         r = bench_model('bbc batch-lifted (bs=250)', bbc_cfg, y_bbc,
                         250, 0.003, 16)
         extras['bbc_throughput_bs250'] = r
+        # single-pass fused Adam (--adam-impl fused): the step-anatomy
+        # lever — the optimizer update was the dominant step cost
+        r = bench_model('bbc bs=250 + fused adam', bbc_cfg, y_bbc,
+                        250, 0.003, 16, adam_impl='fused')
+        extras['bbc_bs250_fused_adam'] = r
         # rank-1 first layer: the out-of-memory fallback (measured slower
         # than masked at every fitting shape; docs/design.md)
         r = bench_model('bbc bs=250 + rank1 first layer',

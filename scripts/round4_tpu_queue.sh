@@ -1,0 +1,73 @@
+#!/bin/bash
+# Round-4 TPU queue (VERDICT r3 next-round items). One chip, so jobs run
+# sequentially — but each is independent, starts immediately after the
+# previous, writes its own log, and NEVER gates on a pid file (the round-3
+# chain lost five deliverables blocking on one). `|| true` everywhere: a
+# failed job must not dam the queue.
+#
+# Usage: scripts/round4_tpu_queue.sh [stage...]   (default: all stages)
+set -u
+cd "$(dirname "$0")/.."
+STAGES=${@:-probe kdd cptp students_cmll streaming bbc250}
+
+log() { echo "== $1: $(date -u +%H:%M:%S) ==" | tee -a logs/round4_queue.out; }
+
+for st in $STAGES; do
+  case $st in
+    probe)
+      # fused-Adam decision measurement (scripts/bench_adam_probe.py)
+      log "adam probe start"
+      timeout 2400 python scripts/bench_adam_probe.py \
+          > logs/adam_probe_r4.out 2>&1 || true
+      log "adam probe done"
+      ;;
+    kdd)
+      # the one cell the round-end kill took (rc=-15); resume from joblog
+      log "kdd retry start"
+      timeout 3600 python scripts/synth_kdd.py 2>/dev/null || true
+      timeout 7200 python run_pipeline.py --joblog logs/kdd-r3.jsonl \
+          --result-file logs/kdd-r3-result.txt --retry-failed -m --isolate \
+          --cell-timeout 3600 -n kdd -k 4096 -d 10 -b 32 -e 200 -r 0.0002 \
+          -c 0.35,0.4,0.45,0.5 -g 0.99 -s 5 --vq-impl auto \
+          >> logs/kdd-r3.out 2>&1 || true
+      log "kdd retry done"
+      ;;
+    cptp)
+      # joint-code CPT quality campaign over the regen winners
+      log "cptp campaign start"
+      timeout 28800 python scripts/cptp_campaign.py \
+          > logs/cptp-r4.out 2>&1 || true
+      log "cptp campaign done"
+      ;;
+    students_cmll)
+      # honest CMLL for the pk-3 students winner: rebuild the exact packed
+      # program (seeds 1,2,3) with --cmll; seed 1 is the tuned-table row
+      log "students packed cmll start"
+      timeout 14400 python run_pipeline.py \
+          --joblog logs/students-pk3-cmll.jsonl \
+          --result-file logs/students-pk3-cmll-result.txt \
+          --pack-seeds 3 -m --isolate --cell-timeout 10800 \
+          -n students_03_02-0000 -k 500 -d 30 -b 32 -e 600 -r 0.001 \
+          -c 0.25 -g 0.99 --dead-code-threshold 0.1 --select-on-valid 100 \
+          -s 1,2,3 --cmll \
+          > logs/students-pk3-cmll.out 2>&1 || true
+      log "students packed cmll done"
+      ;;
+    streaming)
+      # the >4 GiB out-of-core fit (reference run.py:53 TODO)
+      log "streaming bench start"
+      timeout 10800 python scripts/bench_streaming.py \
+          > logs/bench_streaming.out 2>&1 || true
+      log "streaming bench done"
+      ;;
+    bbc250)
+      # perf-quality gap: can bs=250 hold the bs=25 quality?
+      log "bbc bs250 quality sweep start"
+      bash scripts/bbc_bs250_quality.sh \
+          > logs/bbc-bs250-r4.out 2>&1 || true
+      log "bbc bs250 quality sweep done"
+      ;;
+    *) echo "unknown stage: $st" ;;
+  esac
+done
+log "queue finished"
