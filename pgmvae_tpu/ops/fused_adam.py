@@ -141,13 +141,25 @@ def fused_adam(learning_rate: float, eps: float = 1e-7, b1: float = 0.9,
     """Drop-in fused replacement for the Trainer's
     `inject_hyperparams(optax.adam)` path (same state pytree, same math).
 
-    impl: 'xla' (fused expression, default) or 'pallas' (explicit kernel).
+    impl: 'xla' (fused expression, default), 'pallas' (explicit kernel),
+    or 'xla_bf16' (moments stored bfloat16: halves the m,v HBM traffic —
+    the update still computes in f32 from the rounded moments; a further
+    ~0.4% relative moment-rounding drift on top of the fusion ULPs, so
+    strictly an opt-in recorded as ad-fused_bf16).
     """
     ref = optax.inject_hyperparams(optax.adam)(
         learning_rate=learning_rate, eps=eps, b1=b1, b2=b2)
+    mdt = jnp.bfloat16 if impl == 'xla_bf16' else None
 
     def init(params):
-        return ref.init(params)
+        state = ref.init(params)
+        if mdt is None:
+            return state
+        inner_adam, inner_rest = state.inner_state
+        cast = functools.partial(jax.tree.map, lambda x: x.astype(mdt))
+        new_inner = inner_adam._replace(mu=cast(inner_adam.mu),
+                                        nu=cast(inner_adam.nu))
+        return state._replace(inner_state=(new_inner, inner_rest))
 
     def apply(grads, state, params) -> Tuple[Any, Any]:
         hp = state.hyperparams
@@ -170,6 +182,15 @@ def fused_adam(learning_rate: float, eps: float = 1e-7, b1: float = 0.9,
             new = [_leaf_update_pallas(p, m, v, g, scalars, b1=float(b1),
                                        b2=float(b2), eps=float(eps),
                                        interpret=interpret)
+                   for p, m, v, g in zip(leaves_p, leaves_m, leaves_v,
+                                         leaves_g)]
+        elif mdt is not None:
+            def upd16(p, m, v, g):
+                p2, m2, v2 = _leaf_update_xla(
+                    p, m.astype(jnp.float32), v.astype(jnp.float32), g,
+                    b1v, b2v, jnp.asarray(eps, p.dtype), bc1, bc2, lr)
+                return p2, m2.astype(mdt), v2.astype(mdt)
+            new = [upd16(p, m, v, g)
                    for p, m, v, g in zip(leaves_p, leaves_m, leaves_v,
                                          leaves_g)]
         else:

@@ -115,9 +115,10 @@ class Trainer:
         self.adam_impl = adam_impl or os.environ.get(
             'PGMVAE_ADAM_IMPL', 'optax')
         if self.adam_impl != 'optax':
-            self._fused_adam = fused_adam(
-                learning_rate, eps=adam_eps,
-                impl='pallas' if self.adam_impl == 'pallas' else 'xla')
+            impl = {'pallas': 'pallas', 'fused_bf16': 'xla_bf16'}.get(
+                self.adam_impl, 'xla')
+            self._fused_adam = fused_adam(learning_rate, eps=adam_eps,
+                                          impl=impl)
         self._run_epoch = jax.jit(self._epoch_impl, donate_argnums=(0,))
         self._run_epochs = jax.jit(self._epochs_impl, donate_argnums=(0,),
                                    static_argnums=(4,))
@@ -323,7 +324,9 @@ class Trainer:
             ema = q.ema_init(codebook, self.cfg.zero_debias)
         elif self.cfg.quantizer == 'vq':
             params['codebook'] = codebook
-        opt_state = self.optimizer.init(params)
+        opt_state = (self.optimizer.init(params)
+                     if self.adam_impl == 'optax'
+                     else self._fused_adam.init(params))
         return params, ema, opt_state, jnp.zeros((), jnp.int32)
 
     def run_epochs_packed(self, states: TrainState, data: jax.Array,

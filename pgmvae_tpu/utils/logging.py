@@ -99,7 +99,7 @@ def parse_identifier(identifier: str):
     # peel extensions right-to-left in reverse append order (run_identifier)
     rest = g['rest']
     peels = [
-        ('adam_impl', r'_ad-(fused|pallas)$', str),
+        ('adam_impl', r'_ad-(fused|pallas|fused_bf16)$', str),
         ('packed_seeds', r'_pk-(\d+)$', int),
         ('first_layer', r'_fl-(rank1|auto)$', str),
         ('cpt_parents', r'_cptp-(\d+)$', int),

@@ -107,7 +107,7 @@ def build_parser() -> argparse.ArgumentParser:
                         'out-of-memory fallback for huge n_var*batch), '
                         'auto (rank1 only when the [n,B,n] buffer would '
                         'exceed ~4 GiB of HBM)')
-    p.add_argument('--adam-impl', choices=['optax', 'fused', 'pallas'],
+    p.add_argument('--adam-impl', choices=['optax', 'fused', 'pallas', 'fused_bf16'],
                    default='optax',
                    help='Adam update implementation: optax (bit-compatible '
                         'default), fused (single-pass HBM update, same math '

@@ -122,7 +122,7 @@ def build_parser() -> argparse.ArgumentParser:
                    default='masked',
                    help='first encoder layer implementation (see run.py '
                         '--first-layer)')
-    p.add_argument('--adam-impl', choices=['optax', 'fused', 'pallas'],
+    p.add_argument('--adam-impl', choices=['optax', 'fused', 'pallas', 'fused_bf16'],
                    default='optax',
                    help='Adam update implementation (see run.py '
                         '--adam-impl; non-default is identifier-encoded)')

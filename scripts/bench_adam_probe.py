@@ -135,7 +135,7 @@ def main() -> int:
     # the production fused path (ops/fused_adam.py) — what --adam-impl
     # fused/pallas actually runs, including state-structure overhead
     from pgmvae_tpu.ops.fused_adam import fused_adam
-    for impl in ('xla', 'pallas'):
+    for impl in ('xla', 'pallas', 'xla_bf16'):
         fa = fused_adam(3e-3, eps=1e-7, impl=impl,
                         interpret=args.cpu)
 

@@ -132,3 +132,33 @@ def test_adam_impl_identifier_roundtrip():
     # default impl leaves the identifier untouched (reference-compatible)
     c0 = c.__class__(**{**kw, 'adam_impl': 'optax'})
     assert '_ad-' not in c0.identifier
+
+
+def test_fused_bf16_moments_trains_and_tracks(monkeypatch):
+    """fused_bf16 stores bf16 moments (half the optimizer-state traffic)
+    and must track the f32 dynamics loosely — a dynamics sanity check, not
+    a parity pin."""
+    import jax.numpy as jnp
+
+    from pgmvae_tpu.models import VqVaeConfig
+    from pgmvae_tpu.train import Trainer
+
+    cfg = VqVaeConfig(n_var=6, units=(5, 4), dim=3, num_codes=7, cost=0.25,
+                      decay=0.9, quantizer='ema')
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.integers(0, 2, size=(64, 6)).astype(np.float32))
+
+    losses = {}
+    for impl in ('optax', 'fused_bf16'):
+        monkeypatch.setenv('PGMVAE_ADAM_IMPL', impl)
+        tr = Trainer(cfg, 0.01, 16, 64)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        if impl == 'fused_bf16':
+            mu = state.opt_state.inner_state[0].mu
+            assert all(l.dtype == jnp.bfloat16
+                       for l in jax.tree_util.tree_leaves(mu))
+        state, ms = tr.fit(state, y, epochs=8, key=jax.random.PRNGKey(1))
+        losses[impl] = float(ms[-1].loss)
+    # same ballpark final loss (bf16 moment rounding is ~0.4% relative)
+    assert abs(losses['fused_bf16'] - losses['optax']) < 0.05 * abs(
+        losses['optax']) + 1e-3, losses

@@ -123,3 +123,21 @@ def test_sweep_pack_seeds_isolated(tmp_path):
     recs = [json.loads(l) for l in open(joblog)]
     assert len(recs) == 2 and all(r['ok'] for r in recs)
     assert all(r['packed_seeds'] == 2 for r in recs)
+
+
+def test_adam_impl_flag_is_identifier_encoded(tmp_path):
+    """--adam-impl fused runs the fused optimizer path and records ad-fused
+    in the cell identity (regeneration honesty: the fused graph drifts
+    ~1 ULP/step from optax, so it must never alias a default cell)."""
+    joblog = str(tmp_path / 'joblog.jsonl')
+    res = str(tmp_path / 'result.txt')
+    out = _run(['-n', 'nltcs', '-k', '8', '-d', '4', '-b', '512', '-e', '1',
+                '-r', '0.01', '-m', '--adam-impl', 'fused',
+                '--joblog', joblog, '--result-file', res])
+    assert out.returncode == 0, out.stderr[-800:]
+    rec = json.loads(open(joblog).readline())
+    assert rec['ok'], rec
+    assert rec['identifier'].endswith('_ad-fused')
+    # and the identifier round-trips back to the fused recipe
+    from pgmvae_tpu.utils.logging import parse_identifier
+    assert parse_identifier(rec['identifier'])['adam_impl'] == 'fused'
