@@ -8,7 +8,9 @@
 # Usage: scripts/round4_tpu_queue.sh [stage...]   (default: all stages)
 set -u
 cd "$(dirname "$0")/.."
-STAGES=${@:-probe kdd cptp students_cmll streaming bbc250}
+# cheap/high-value first: probe (MFU decision) and bbc250 (quality-at-speed)
+# are ~30 min each; cptp is the remaining quality lever; the rest follow.
+STAGES=${@:-probe bbc250 cptp kdd students_cmll streaming}
 
 log() { echo "== $1: $(date -u +%H:%M:%S) ==" | tee -a logs/round4_queue.out; }
 
