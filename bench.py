@@ -188,6 +188,12 @@ def main() -> int:
         r = bench_model('bbc bs=250 + fused adam', bbc_cfg, y_bbc,
                         250, 0.003, 16, adam_impl='fused')
         extras['bbc_bs250_fused_adam'] = r
+        # + bf16 compute (--compute-dtype bf16) + bf16 moments: every
+        # network-side HBM stream at half width, optimizer state too
+        r = bench_model('bbc bs=250 + fused_bf16 adam + bf16 compute',
+                        bbc_cfg._replace(compute_dtype='bf16'), y_bbc,
+                        250, 0.003, 16, adam_impl='fused_bf16')
+        extras['bbc_bs250_bf16'] = r
         # rank-1 first layer: the out-of-memory fallback (measured slower
         # than masked at every fitting shape; docs/design.md)
         r = bench_model('bbc bs=250 + rank1 first layer',

@@ -59,6 +59,10 @@ class ExperimentConfig:
     adam_impl: str = 'optax'  # 'fused'/'pallas': single-pass Adam update
     #                        (ops/fused_adam.py) — same math, ~1 ULP/step
     #                        XLA-fusion drift vs optax, so identifier-encoded
+    compute_dtype: str = 'f32'  # 'bf16': bfloat16 forward/backward with f32
+    #                        master params/moments/EMA/stage-2 (see
+    #                        VqVaeConfig.compute_dtype) — a different
+    #                        trajectory, identifier-encoded as cd-bf16
     checkpoint: Optional[str] = None
     resume: Optional[str] = None
     data_dir: Optional[str] = None
@@ -81,7 +85,8 @@ class ExperimentConfig:
                               cpt_parents=self.cpt_parents,
                               first_layer=self.first_layer,
                               packed_seeds=self.packed_seeds,
-                              adam_impl=self.adam_impl)
+                              adam_impl=self.adam_impl,
+                              compute_dtype=self.compute_dtype)
 
 
 def run_packed_experiments(exps) -> list:
@@ -136,7 +141,8 @@ def run_packed_experiments(exps) -> list:
                       fan_mode=base.fan_mode, vq_impl=base.vq_impl,
                       matmul_precision=base.precision,
                       activation=base.activation, l2_reg=base.l2_reg,
-                      first_layer=base.first_layer)
+                      first_layer=base.first_layer,
+                      compute_dtype=base.compute_dtype)
 
     y_train = load_split(base.name, 'train', base.data_dir)
     trainer = Trainer(cfg, base.rate, base.batch, len(y_train),
@@ -277,7 +283,8 @@ def run_experiment(exp: ExperimentConfig) -> dict:
                       fan_mode=exp.fan_mode, vq_impl=exp.vq_impl,
                       matmul_precision=exp.precision,
                       activation=exp.activation, l2_reg=exp.l2_reg,
-                      first_layer=exp.first_layer)
+                      first_layer=exp.first_layer,
+                      compute_dtype=exp.compute_dtype)
 
     mesh_ctx = MeshContext(None)
     if exp.mesh_data * exp.mesh_model > 1:

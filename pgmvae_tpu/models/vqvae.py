@@ -74,6 +74,21 @@ class VqVaeConfig(NamedTuple):
     #                              Networks/columns >= n_active are inert:
     #                              zero input columns, zero loss mask rows,
     #                              sliced out of stage-2 counts.
+    compute_dtype: str = 'f32'   # 'f32' | 'bf16': forward/backward compute
+    #                              dtype. 'bf16' keeps MASTER params, Adam
+    #                              moments, EMA statistics, loss reductions,
+    #                              and all of stage 2 in f32, but casts
+    #                              params + batch to bfloat16 for the fwd/bwd
+    #                              pass — halving every activation, weight-
+    #                              read and cotangent HBM stream (the
+    #                              bandwidth bound at bbc scale, see
+    #                              docs/design.md step anatomy). MXU
+    #                              accumulates bf16 matmuls in f32 natively,
+    #                              so matmul sums lose no precision; what
+    #                              changes is activation rounding (and
+    #                              possibly argmin code assignments), i.e. a
+    #                              different training trajectory — opt-in,
+    #                              identifier-recorded as cd-bf16.
     first_layer: str = 'masked'  # 'masked' | 'rank1' | 'auto': how the first
     #                              encoder layer applies leave-one-out. See
     #                              _first_layer_rank1 — identical math,

@@ -162,18 +162,30 @@ class Trainer:
         y = mesh.constrain(y, mesh.batch)
         mask = vqvae.loo_mask(cfg.n_var, None, y.dtype,
                               n_active=cfg.active_vars)
+        # 'bf16' compute: master params stay f32; the cast happens INSIDE
+        # loss_fn so the astype VJP returns f32 grads, and every elementwise
+        # product against the f32 mask/weights promotes back to f32 — i.e.
+        # loss/metric accumulation is f32 while the network-side streams
+        # (weights read, activations, cotangents) move at half width.
+        cdt = jnp.bfloat16 if cfg.compute_dtype == 'bf16' else None
 
         def loss_fn(params):
+            p = params if cdt is None else jax.tree.map(
+                lambda l: l.astype(cdt), params)
             if cfg.quantizer == 'vq':
-                codebook = params['codebook']       # Adam-trained codebook
+                codebook = p['codebook']            # Adam-trained codebook
             elif cfg.quantizer == 'ema':
                 codebook = state.ema.codebook       # EMA-assigned, no grads
+                if cdt is not None:
+                    codebook = codebook.astype(cdt)
             else:
                 codebook = None                     # naive: implicit D-cube
-            out = vqvae.apply_model(params, codebook, y, cfg, weights=w)
+            yc = y if cdt is None else y.astype(cdt)
+            out = vqvae.apply_model(p, codebook, yc, cfg,
+                                    weights=w.astype(yc.dtype))
             recon = mesh.constrain(
                 out.recon, jax.sharding.PartitionSpec('model', 'data', None))
-            mse = _masked_recon_mean((recon - y[None]) ** 2, w, mask,
+            mse = _masked_recon_mean((recon - yc[None]) ** 2, w, mask,
                                      cfg.active_vars)
             if cfg.quantizer == 'vq':
                 aux = out.q_loss + cfg.cost * out.e_loss
@@ -197,13 +209,17 @@ class Trainer:
         ema = state.ema
         counts, _dw = None, None
         if cfg.quantizer == 'ema':
-            counts, dw = q.code_stats(out.z, out.indices,
+            # EMA statistics accumulate in f32 regardless of compute dtype
+            # (the codebook IS these statistics — bf16 rounding here would
+            # compound across steps, unlike one-shot activation rounding)
+            z32 = out.z if cdt is None else out.z.astype(jnp.float32)
+            counts, dw = q.code_stats(z32, out.indices,
                                       cfg.num_codes, weights=w)
             ema = q.ema_update(ema, counts, dw, cfg.decay,
                                cfg.epsilon, cfg.zero_debias)
             if cfg.dead_code_threshold > 0 and key is not None:
                 ema = q.restart_dead_codes(
-                    ema, out.z, key, cfg.dead_code_threshold, cfg.decay,
+                    ema, z32, key, cfg.dead_code_threshold, cfg.decay,
                     cfg.zero_debias, weights=w)
         elif cfg.effective_codes <= PERPLEXITY_MAX_CODES:
             # histogram via scatter-add — no [n, B, K] one-hot materialized

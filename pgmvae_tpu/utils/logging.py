@@ -25,7 +25,7 @@ def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
                    activation='selu', l2_reg=0.0,
                    select_on_valid=0, cpt_parents=0,
                    first_layer='masked', packed_seeds=1,
-                   adam_impl='optax') -> str:
+                   adam_impl='optax', compute_dtype='f32') -> str:
     """Hyperparameter-encoding run id, field-for-field the reference's
     format (reference run.py:38).
 
@@ -68,6 +68,10 @@ def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
         # fusion shape -> ~1 ULP/step drift vs optax, so it is part of the
         # cell's numeric identity
         ext.append(f'ad-{adam_impl}')
+    if compute_dtype != 'f32':
+        # bf16 forward/backward (VqVaeConfig.compute_dtype): a genuinely
+        # different training trajectory, not a fusion ULP
+        ext.append(f'cd-{compute_dtype}')
     return base + ('_' + '_'.join(ext) if ext else '')
 
 
@@ -99,6 +103,7 @@ def parse_identifier(identifier: str):
     # peel extensions right-to-left in reverse append order (run_identifier)
     rest = g['rest']
     peels = [
+        ('compute_dtype', r'_cd-(bf16)$', str),
         ('adam_impl', r'_ad-(fused|pallas|fused_bf16)$', str),
         ('packed_seeds', r'_pk-(\d+)$', int),
         ('first_layer', r'_fl-(rank1|auto)$', str),

@@ -113,6 +113,12 @@ def build_parser() -> argparse.ArgumentParser:
                         'default), fused (single-pass HBM update, same math '
                         'but ~1 ULP/step XLA-fusion drift — recorded in the '
                         'identifier as ad-fused), pallas (explicit kernel)')
+    p.add_argument('--compute-dtype', choices=['f32', 'bf16'], default='f32',
+                   help='forward/backward compute dtype. bf16 halves the '
+                        'weight/activation/cotangent HBM streams (master '
+                        'params, Adam moments, EMA stats, loss reductions '
+                        'and stage 2 stay f32) — a different training '
+                        'trajectory, recorded in the identifier as cd-bf16')
     p.add_argument('--no-zero-debias', action='store_true',
                    help='plain moving average instead of the TF zero-debiased '
                         'default')
@@ -189,6 +195,7 @@ def main(argv=None) -> int:
         precision=args.precision, cmll=args.cmll,
         select_on_valid=args.select_on_valid, cpt_parents=args.cpt_parents,
         first_layer=args.first_layer, adam_impl=args.adam_impl,
+        compute_dtype=args.compute_dtype,
         checkpoint=args.checkpoint, resume=args.resume,
         data_dir=args.data_dir, verbose=args.verbose,
         log_dir=os.path.join(os.curdir, 'logs', 'tuning'))

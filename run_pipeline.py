@@ -126,6 +126,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default='optax',
                    help='Adam update implementation (see run.py '
                         '--adam-impl; non-default is identifier-encoded)')
+    p.add_argument('--compute-dtype', choices=['f32', 'bf16'], default='f32',
+                   help='forward/backward compute dtype (see run.py '
+                        '--compute-dtype; bf16 is identifier-encoded)')
     p.add_argument('--data-dir', type=str, default=None)
     p.add_argument('--device', '-u', type=int, default=0,
                    help='-1 = CPU; otherwise the default accelerator '
@@ -216,6 +219,7 @@ def main(argv=None) -> int:
                          select_on_valid=args.select_on_valid,
                          cpt_parents=cpp, first_layer=args.first_layer,
                          adam_impl=args.adam_impl,
+                         compute_dtype=args.compute_dtype,
                          cmll=args.cmll,
                          data_dir=args.data_dir, verbose=args.verbose)
         for name, k, d, b, r, c, g, s, qz, un, fm, dcr, act, l2, cpp
