@@ -10,7 +10,7 @@ set -u
 cd "$(dirname "$0")/.."
 # cheap/high-value first: probe (MFU decision) and bbc250 (quality-at-speed)
 # are ~30 min each; cptp is the remaining quality lever; the rest follow.
-STAGES=${@:-probe bbc250 cptp kdd students_cmll streaming}
+STAGES=${@:-probe bbc250 cptp kdd students_cmll streaming bench}
 
 log() { echo "== $1: $(date -u +%H:%M:%S) ==" | tee -a logs/round4_queue.out; }
 
@@ -68,6 +68,12 @@ for st in $STAGES; do
       bash scripts/bbc_bs250_quality.sh \
           > logs/bbc-bs250-r4.out 2>&1 || true
       log "bbc bs250 quality sweep done"
+      ;;
+    bench)
+      # our own record of the round-4 bench (incl. fused-adam + bf16 cells)
+      log "bench start"
+      timeout 3600 python bench.py > logs/bench_r4.out 2>&1 || true
+      log "bench done"
       ;;
     *) echo "unknown stage: $st" ;;
   esac
