@@ -43,11 +43,20 @@ def main() -> int:
     ap.add_argument('--dim', type=int, default=20)
     ap.add_argument('--codes', type=int, default=50)
     ap.add_argument('--first-layer', default='masked')
+    ap.add_argument('--adam-impl', default='optax',
+                    choices=['optax', 'fused', 'pallas', 'fused_bf16'])
+    ap.add_argument('--compute-dtype', default='f32',
+                    choices=['f32', 'bf16'])
     ap.add_argument('--steps', type=int, default=20)
     ap.add_argument('--reps', type=int, default=3)
+    ap.add_argument('--cpu', action='store_true',
+                    help='force the CPU backend (the axon plugin overrides '
+                         'JAX_PLATFORMS=cpu; this uses jax.config instead)')
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
     import numpy as np
 
@@ -65,17 +74,25 @@ def main() -> int:
     cfg = VqVaeConfig(n_var=info.n_var, units=info.encoder_units(args.dim),
                       dim=args.dim, num_codes=args.codes, cost=0.05,
                       decay=0.9, quantizer='ema', dead_code_threshold=0.25,
-                      fan_mode='per_network', first_layer=args.first_layer)
+                      fan_mode='per_network', first_layer=args.first_layer,
+                      compute_dtype=args.compute_dtype)
     B = args.batch
-    trainer = Trainer(cfg, 3e-3, B, len(y))
+    trainer = Trainer(cfg, 3e-3, B, len(y), adam_impl=args.adam_impl)
     state = trainer.init_state(jax.random.PRNGKey(1))
     yb = jnp.asarray(y[:B])
     w = jnp.ones((B,), jnp.float32)
+    # mirror the trainer's compute-dtype cast (train.py _train_step_impl) so
+    # fwd/grad phases measure the same half-width streams the full step uses
+    cdt = jnp.bfloat16 if args.compute_dtype == 'bf16' else None
 
     def fwd_loss(params, ema, yb, w):
+        p = params if cdt is None else jax.tree.map(
+            lambda l: l.astype(cdt), params)
+        cb = ema.codebook if cdt is None else ema.codebook.astype(cdt)
+        ybc = yb if cdt is None else yb.astype(cdt)
         m = vqvae.loo_mask(cfg.n_var, None, yb.dtype, n_active=cfg.active_vars)
-        out = vqvae.apply_model(params, ema.codebook, yb, cfg, weights=w)
-        mse = jnp.sum((out.recon - yb[None]) ** 2 * m * w[None, :, None]) / (
+        out = vqvae.apply_model(p, cb, ybc, cfg, weights=w.astype(ybc.dtype))
+        mse = jnp.sum((out.recon - ybc[None]) ** 2 * m * w[None, :, None]) / (
             cfg.n_var * (cfg.n_var - 1) * jnp.maximum(jnp.sum(w), 1.0))
         return mse + cfg.cost * out.e_loss, out
 
@@ -92,23 +109,27 @@ def main() -> int:
         return state, loss + 1e-30 * sum(jnp.sum(g)
                                          for g in jax.tree.leaves(grads))
 
+    def apply_adam(grads, opt_state, params):
+        if args.adam_impl == 'optax':
+            updates, opt_state = trainer.optimizer.update(
+                grads, opt_state, params)
+            return jax.tree.map(lambda p, u: p + u, params, updates), opt_state
+        return trainer._fused_adam.apply(grads, opt_state, params)
+
     def phase_adam(state, yb, w, key):
         (loss, _), grads = jax.value_and_grad(
             fwd_loss, has_aux=True)(state.params, state.ema, yb, w)
-        updates, opt_state = trainer.optimizer.update(
-            grads, state.opt_state, state.params)
-        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        params, opt_state = apply_adam(grads, state.opt_state, state.params)
         return state._replace(params=params, opt_state=opt_state), loss
 
     def phase_ema(state, yb, w, key):
         (loss, out), grads = jax.value_and_grad(
             fwd_loss, has_aux=True)(state.params, state.ema, yb, w)
-        updates, opt_state = trainer.optimizer.update(
-            grads, state.opt_state, state.params)
-        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-        counts, dw = q.code_stats(out.z, out.indices, cfg.num_codes, weights=w)
+        params, opt_state = apply_adam(grads, state.opt_state, state.params)
+        z32 = out.z if cdt is None else out.z.astype(jnp.float32)
+        counts, dw = q.code_stats(z32, out.indices, cfg.num_codes, weights=w)
         ema = q.ema_update(state.ema, counts, dw, cfg.decay, cfg.epsilon, True)
-        ema = q.restart_dead_codes(ema, out.z, key, cfg.dead_code_threshold,
+        ema = q.restart_dead_codes(ema, z32, key, cfg.dead_code_threshold,
                                    cfg.decay, True, weights=w)
         return state._replace(params=params, opt_state=opt_state, ema=ema), loss
 
@@ -165,13 +186,18 @@ def main() -> int:
     mm = sum(a * b for a, b in zip((n,) + tuple(cfg.units),
                                    tuple(cfg.units) + (cfg.dim,)))
     flops = B * 3 * 2 * n * (2 * mm + cfg.dim * cfg.num_codes)
+    # half-width factors: compute streams halve under cd-bf16 (grads stay
+    # f32 — the astype VJP materializes f32 leaves); Adam moment traffic
+    # halves under ad-fused_bf16
+    cf = 0.5 if args.compute_dtype == 'bf16' else 1.0
+    mf = 0.5 if args.adam_impl == 'fused_bf16' else 1.0
     traffic = {
-        'params fwd read': pbytes,
-        'params bwd read': pbytes,
+        'params fwd read': pbytes * cf,
+        'params bwd read': pbytes * cf,
         'grads write+read': 2 * pbytes,
-        'adam m,v read+write + params write': 5 * pbytes,
-        'masked-x fwd+bwd (first layer)': 3 * act_first,
-        'recon + cotangent': 3 * act_recon,
+        'adam m,v read+write + params write': pbytes * (4 * mf + 1),
+        'masked-x fwd+bwd (first layer)': 3 * act_first * cf,
+        'recon + cotangent': 3 * act_recon * cf,
     }
     tot = sum(traffic.values())
     print('\nroofline (analytic):', file=sys.stderr)

@@ -22,6 +22,16 @@ for st in $STAGES; do
       timeout 2400 python scripts/bench_adam_probe.py \
           > logs/adam_probe_r4.out 2>&1 || true
       log "adam probe done"
+      # step anatomy at bbc scale for each optimizer/dtype combination
+      log "anatomy sweep start"
+      timeout 1800 python scripts/bench_step_anatomy.py \
+          > logs/anatomy_optax_r4.out 2>&1 || true
+      timeout 1800 python scripts/bench_step_anatomy.py --adam-impl fused \
+          > logs/anatomy_fused.out 2>&1 || true
+      timeout 1800 python scripts/bench_step_anatomy.py \
+          --adam-impl fused_bf16 --compute-dtype bf16 \
+          > logs/anatomy_bf16.out 2>&1 || true
+      log "anatomy sweep done"
       ;;
     kdd)
       # the one cell the round-end kill took (rc=-15); resume from joblog
