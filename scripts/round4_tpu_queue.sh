@@ -49,6 +49,16 @@ for st in $STAGES; do
       log "cptp campaign start"
       timeout 28800 python scripts/cptp_campaign.py \
           > logs/cptp-r4.out 2>&1 || true
+      # small datasets at their tuned recipes (CPU pilot showed nltcs
+      # -5.263 -> -5.056 with M=0..3; these record the TPU trajectories)
+      timeout 3600 python run_pipeline.py --joblog logs/cptp-small-r4.jsonl \
+          --result-file logs/cptp-small-r4-result.txt \
+          -n nltcs -k 100 -d 10 -b 128 -e 100 -r 0.003 -c 0.25 -s 1 \
+          --cpt-parents 0,1,2,3 > logs/cptp-small-nltcs.out 2>&1 || true
+      timeout 3600 python run_pipeline.py --joblog logs/cptp-small-r4.jsonl \
+          --result-file logs/cptp-small-r4-result.txt \
+          -n bn2o-30-20-200-2a -k 50 -d 30 -b 128 -e 100 -r 0.003 -c 0.25 \
+          -s 1 --cpt-parents 0,1,2,3 > logs/cptp-small-bn2o.out 2>&1 || true
       log "cptp campaign done"
       ;;
     students_cmll)
