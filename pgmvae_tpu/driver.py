@@ -223,6 +223,11 @@ def run_packed_experiments(exps) -> list:
             'samples_per_sec_packed': round(n_seeds * per_cell, 1),
             'paper_pll': -info.paper_pll,
             'packed_seeds': n_seeds,
+            # platform is part of a cell's numeric identity in practice
+            # (CPU and TPU tile/accumulate differently — measured ~0.07-nat
+            # shifts on nltcs, more on bistable datasets), so joblogs
+            # record where the trajectory ran
+            'platform': jax.devices()[0].platform,
         }
         if base.select_on_valid > 0:
             res['best_epoch'] = best[s][2]
@@ -398,6 +403,7 @@ def run_experiment(exp: ExperimentConfig) -> dict:
         'samples_per_sec': round(exp.epoch * len(y_train)
                                  / max(train_wall, 1e-9), 1),
         'paper_pll': -info.paper_pll,
+        'platform': jax.devices()[0].platform,  # see run_packed_experiments
     }
     if exp.select_on_valid > 0:
         result['best_epoch'] = best_epoch
