@@ -30,11 +30,13 @@ def main() -> int:
         for c in packed:
             if c.get('units'):
                 c['units'] = tuple(c['units'])
+            c['cpt_parents_eval'] = tuple(c.get('cpt_parents_eval', ()))
             cells.append(ExperimentConfig(**c))
         res = run_packed_experiments(cells)
     else:
         if kw.get('units'):
             kw['units'] = tuple(kw['units'])
+        kw['cpt_parents_eval'] = tuple(kw.get('cpt_parents_eval', ()))
         res = run_experiment(ExperimentConfig(**kw))
     sys.stdout.flush()
     print(json.dumps(res), flush=True)

@@ -46,6 +46,17 @@ class ExperimentConfig:
     #                        stage-2 table on the values of its m highest-MI
     #                        partner variables as well as its code
     #                        (stage2.select_parents); 0 = reference semantics
+    cpt_parents_eval: Tuple[int, ...] = ()  # extra parent counts evaluated
+    #                        POST-HOC on the trained (and, with
+    #                        select_on_valid, M=cpt_parents-selected) state:
+    #                        stage-1 training is independent of M, so one
+    #                        training yields one stage-2 record per listed M
+    #                        (identifier suffix cpe-M) — an S-way cheaper
+    #                        sweep than a --cpt-parents grid. With
+    #                        select_on_valid == 0 a cpe-M number is
+    #                        bit-identical to a from-scratch cptp-M cell
+    #                        (tests/test_cpt_parents.py); with selection the
+    #                        snapshot is picked on the PRIMARY M's valid PLL
     first_layer: str = 'masked'  # first-encoder-layer implementation
     #                        ('masked' | 'rank1' | 'auto'; models/vqvae.py)
     packed_seeds: int = 1  # >1: this cell was trained as one lane of an
@@ -86,7 +97,46 @@ class ExperimentConfig:
                               first_layer=self.first_layer,
                               packed_seeds=self.packed_seeds,
                               adam_impl=self.adam_impl,
-                              compute_dtype=self.compute_dtype)
+                              compute_dtype=self.compute_dtype,
+                              cpt_parents_eval=self.cpt_parents_eval)
+
+
+def _posthoc_cpt_records(exp, cfg, mesh_ctx, params, codebook, y_train,
+                         y_valid, y_test, primary_id, platform,
+                         stage2_by_m=None) -> list:
+    """One stage-2 record per M in exp.cpt_parents_eval, computed from the
+    already-trained `params` (see ExperimentConfig.cpt_parents_eval). Each
+    record's cpe-M identifier regenerates its number by rerunning the cell
+    with --cpt-parents-eval M; pass `stage2_by_m` to share the (per-dataset,
+    per-M) Stage2 instances across packed seeds."""
+    import time as _time
+
+    from pgmvae_tpu.stage2 import Stage2, select_parents
+
+    records = []
+    for m in dict.fromkeys(exp.cpt_parents_eval):
+        te = _time.time()
+        if stage2_by_m is not None and m in stage2_by_m:
+            s2m = stage2_by_m[m]
+        else:
+            par = select_parents(y_train, m) if m > 0 else None
+            s2m = Stage2(cfg, mesh_ctx=mesh_ctx, parents=par)
+            if stage2_by_m is not None:
+                stage2_by_m[m] = s2m
+        dist_m = s2m.cpt(params, codebook, y_train)
+        pll_m = {split: s2m.pseudo_log_likelihood(params, codebook, y, dist_m)
+                 for split, y in (('train', y_train), ('valid', y_valid),
+                                  ('test', y_test))}
+        records.append({
+            'identifier': dataclasses.replace(
+                exp, cpt_parents_eval=(m,)).identifier,
+            'pll_train': pll_m['train'], 'pll_valid': pll_m['valid'],
+            'pll_test': pll_m['test'], 'cmll_test': 1,
+            'eval_wall': round(_time.time() - te, 3),
+            'posthoc_of': primary_id,
+            'platform': platform,
+        })
+    return records
 
 
 def run_packed_experiments(exps) -> list:
@@ -188,6 +238,7 @@ def run_packed_experiments(exps) -> list:
     y_valid = load_split(base.name, 'valid', base.data_dir)
     y_test = load_split(base.name, 'test', base.data_dir)
     results = []
+    stage2_by_m = {}    # post-hoc Stage2 instances shared across seeds
     for s, exp in enumerate(exps):
         t1 = time.time()    # per-seed eval wall, not cumulative
         st = seed_states[s]
@@ -213,8 +264,9 @@ def run_packed_experiments(exps) -> list:
         # over the shared train wall); the S-seed aggregate gets its own key
         # so joblog consumers can't confuse the two
         per_cell = exp.epoch * len(y_train) / max(train_wall, 1e-9)
+        primary_id = _dc.replace(exp, cpt_parents_eval=()).identifier
         res = {
-            'identifier': exp.identifier,
+            'identifier': primary_id,
             'pll_train': pll['train'], 'pll_valid': pll['valid'],
             'pll_test': pll['test'], 'cmll_test': cmll_test,
             'train_wall': round(train_wall, 3),
@@ -233,6 +285,11 @@ def run_packed_experiments(exps) -> list:
             res['best_epoch'] = best[s][2]
         if cmll_wall is not None:
             res['cmll_wall'] = cmll_wall
+        if exp.cpt_parents_eval:
+            res['posthoc'] = _posthoc_cpt_records(
+                exp, cfg, None, st.params, cb, y_train, y_valid, y_test,
+                primary_id, jax.devices()[0].platform,
+                stage2_by_m=stage2_by_m)
         results.append(res)
     return results
 
@@ -368,19 +425,19 @@ def run_experiment(exp: ExperimentConfig) -> dict:
     train_wall = time.time() - t0
 
     codebook = trainer.codebook(state)
+    y_valid = load_split(exp.name, 'valid', exp.data_dir)
+    y_test = load_split(exp.name, 'test', exp.data_dir)
     t1 = time.time()
     dist = s2.cpt(state.params, codebook, y_train)
     pll = {}
-    for split, y in (('train', y_train),
-                     ('valid', load_split(exp.name, 'valid', exp.data_dir)),
-                     ('test', load_split(exp.name, 'test', exp.data_dir))):
+    for split, y in (('train', y_train), ('valid', y_valid),
+                     ('test', y_test)):
         pll[split] = s2.pseudo_log_likelihood(state.params, codebook, y, dist)
     eval_wall = time.time() - t1
 
     cmll_test = 1  # reference hardcodes 1 when CMLL is off (run.py:77)
     cmll_wall = None
     if exp.cmll:
-        y_test = load_split(exp.name, 'test', exp.data_dir)
         t2 = time.time()
         cmll_test = conditional_marginal_log_likelihood(
             state.params, codebook, cfg, dist, y_test,
@@ -395,8 +452,12 @@ def run_experiment(exp: ExperimentConfig) -> dict:
             extra['cpt_parents'] = parents.tolist()
         ckpt.save(exp.checkpoint, cfg, state, dist, extra=extra)
 
+    # the primary record's identity is independent of the post-hoc eval
+    # list (training and the primary stage-2 never see it) — strip cpe so
+    # plain reruns of the same recipe dedupe against it
+    primary_id = dataclasses.replace(exp, cpt_parents_eval=()).identifier
     result = {
-        'identifier': exp.identifier,
+        'identifier': primary_id,
         'pll_train': pll['train'], 'pll_valid': pll['valid'],
         'pll_test': pll['test'], 'cmll_test': cmll_test,
         'train_wall': round(train_wall, 3), 'eval_wall': round(eval_wall, 3),
@@ -409,6 +470,10 @@ def run_experiment(exp: ExperimentConfig) -> dict:
         result['best_epoch'] = best_epoch
     if cmll_wall is not None:
         result['cmll_wall'] = cmll_wall
+    if exp.cpt_parents_eval:
+        result['posthoc'] = _posthoc_cpt_records(
+            exp, cfg, mesh_ctx, state.params, codebook, y_train, y_valid,
+            y_test, primary_id, jax.devices()[0].platform)
     if logger:
         logger.log_final(**result)
         logger.close()

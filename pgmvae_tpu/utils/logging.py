@@ -25,7 +25,8 @@ def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
                    activation='selu', l2_reg=0.0,
                    select_on_valid=0, cpt_parents=0,
                    first_layer='masked', packed_seeds=1,
-                   adam_impl='optax', compute_dtype='f32') -> str:
+                   adam_impl='optax', compute_dtype='f32',
+                   cpt_parents_eval=()) -> str:
     """Hyperparameter-encoding run id, field-for-field the reference's
     format (reference run.py:38).
 
@@ -72,6 +73,11 @@ def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
         # bf16 forward/backward (VqVaeConfig.compute_dtype): a genuinely
         # different training trajectory, not a fusion ULP
         ext.append(f'cd-{compute_dtype}')
+    if cpt_parents_eval:
+        # post-hoc joint-CPT evaluation list (ExperimentConfig
+        # .cpt_parents_eval): stage-2-only — training is unchanged, each
+        # listed M yields its own cpe-M record from the same trained state
+        ext.append('cpe-' + '.'.join(str(m) for m in cpt_parents_eval))
     return base + ('_' + '_'.join(ext) if ext else '')
 
 
@@ -103,6 +109,8 @@ def parse_identifier(identifier: str):
     # peel extensions right-to-left in reverse append order (run_identifier)
     rest = g['rest']
     peels = [
+        ('cpt_parents_eval', r'_cpe-([0-9.]+)$',
+         lambda v: tuple(int(x) for x in v.split('.'))),
         ('compute_dtype', r'_cd-(bf16)$', str),
         ('adam_impl', r'_ad-(fused|pallas|fused_bf16)$', str),
         ('packed_seeds', r'_pk-(\d+)$', int),

@@ -133,6 +133,14 @@ def build_parser() -> argparse.ArgumentParser:
                         '(K * 2^M tied cells per variable; still a legal '
                         'PLL — the conditioning set is a function of x_-v '
                         'only). 0 = reference semantics')
+    p.add_argument('--cpt-parents-eval', type=str, default='',
+                   metavar='M1,M2,...',
+                   help='extra joint-CPT parent counts evaluated POST-HOC '
+                        'from the same trained state (stage-1 is independent '
+                        'of M, so this sweeps M without retraining); each M '
+                        'appends its own cpe-M result line. With '
+                        '--select-on-valid the snapshot is chosen on the '
+                        'primary --cpt-parents valid PLL')
     p.add_argument('--cmll', action='store_true',
                    help='also evaluate CMLL via Gibbs sampling '
                         '(num_smp=3000, burn_in=150, p1=n_var//10, as in '
@@ -194,6 +202,9 @@ def main(argv=None) -> int:
         vq_impl=args.vq_impl,
         precision=args.precision, cmll=args.cmll,
         select_on_valid=args.select_on_valid, cpt_parents=args.cpt_parents,
+        cpt_parents_eval=(tuple(int(m) for m in
+                                args.cpt_parents_eval.split(','))
+                          if args.cpt_parents_eval else ()),
         first_layer=args.first_layer, adam_impl=args.adam_impl,
         compute_dtype=args.compute_dtype,
         checkpoint=args.checkpoint, resume=args.resume,
@@ -213,6 +224,11 @@ def main(argv=None) -> int:
                          res['pll_valid'], res['pll_test'], res['cmll_test'],
                          path=args.result_file)
     print(line)
+    for ph in res.get('posthoc', []):
+        line = append_result(ph['identifier'], ph['pll_train'],
+                             ph['pll_valid'], ph['pll_test'],
+                             ph['cmll_test'], path=args.result_file)
+        print(line)
     return 0
 
 

@@ -116,6 +116,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--cpt-parents', type=_csv(int), default=[0],
                    help='grid over joint-code CPT parent counts (see '
                         'run.py --cpt-parents; 0 = reference semantics)')
+    p.add_argument('--cpt-parents-eval', type=_csv(int), default=[],
+                   help='extra parent counts evaluated POST-HOC from the '
+                        'same trained state (no retraining — stage-1 is '
+                        'independent of M). Applied to every cell, NOT '
+                        'gridded; each M appends its own cpe-M joblog/'
+                        'result record. With --select-on-valid the snapshot '
+                        'is chosen on the primary --cpt-parents valid PLL')
     p.add_argument('--precision', choices=['default', 'float32', 'highest'],
                    default='default')
     p.add_argument('--first-layer', choices=['masked', 'rank1', 'auto'],
@@ -217,7 +224,9 @@ def main(argv=None) -> int:
                          mesh_data=args.mesh_data, mesh_model=args.mesh_model,
                          vq_impl=args.vq_impl, precision=args.precision,
                          select_on_valid=args.select_on_valid,
-                         cpt_parents=cpp, first_layer=args.first_layer,
+                         cpt_parents=cpp,
+                         cpt_parents_eval=tuple(args.cpt_parents_eval),
+                         first_layer=args.first_layer,
                          adam_impl=args.adam_impl,
                          compute_dtype=args.compute_dtype,
                          cmll=args.cmll,
@@ -241,8 +250,9 @@ def main(argv=None) -> int:
     groups = group_packed(cells, pack)
     done = sum(
         1 for g in groups for c in g
-        if any(status.get(dataclasses.replace(c, packed_seeds=s).identifier,
-                          {}).get('ok', False) for s in {1, len(g)}))
+        if any(status.get(dataclasses.replace(
+            c, packed_seeds=s, cpt_parents_eval=()).identifier,
+            {}).get('ok', False) for s in {1, len(g)}))
     print(f'sweep: {len(cells)} cells ({done} already done, '
           f'joblog {args.joblog})', file=sys.stderr)
 
@@ -254,18 +264,26 @@ def main(argv=None) -> int:
             for cell in group:
                 # a done cell may be recorded under its unpacked identifier
                 # OR a pk-S one (S = the group width it actually ran at);
-                # legacy joblogs predate the pk field entirely
-                prev = None
+                # legacy joblogs predate the pk field entirely. The primary
+                # record is always written WITHOUT the cpe eval-list suffix;
+                # a cell with --cpt-parents-eval is only done once every
+                # cpe-M record is ok too (else rerun to produce them).
+                prev, cpe_done = None, True
                 for s in {1, len(group)}:
-                    ident = dataclasses.replace(
-                        cell, packed_seeds=s).identifier
-                    if ident in status:
-                        prev = status[ident]
+                    c_s = dataclasses.replace(cell, packed_seeds=s,
+                                              cpt_parents_eval=())
+                    if c_s.identifier in status:
+                        prev = status[c_s.identifier]
+                        cpe_done = all(
+                            status.get(dataclasses.replace(
+                                c_s, cpt_parents_eval=(m,)).identifier,
+                                {}).get('ok', False)
+                            for m in cell.cpt_parents_eval)
                         break
                 if prev is not None:
-                    if prev.get('ok'):
+                    if prev.get('ok') and cpe_done:
                         continue
-                    if not args.retry_failed:
+                    if not prev.get('ok') and not args.retry_failed:
                         failures += 1
                         continue
                 todo.append(cell)
@@ -283,7 +301,10 @@ def main(argv=None) -> int:
                 for cell, res in zip(todo, results):
                     n_run += 1
                     # res['identifier'] carries the pk-S field when the
-                    # cell actually ran packed — record THAT identity
+                    # cell actually ran packed — record THAT identity.
+                    # Post-hoc cpe-M evaluations become their own joblog/
+                    # result lines (each regenerable from its identifier).
+                    posthoc = res.pop('posthoc', [])
                     rec = {'identifier': res['identifier'], 'ts': int(t0),
                            'ok': True,
                            **{k: v for k, v in res.items()
@@ -297,6 +318,18 @@ def main(argv=None) -> int:
                           f"pll-test={res['pll_test']:.5f} "
                           f"(paper {res['paper_pll']:.2f}) "
                           f"{res['train_wall']:.1f}s", file=sys.stderr)
+                    for ph in posthoc:
+                        rec = {'identifier': ph['identifier'], 'ts': int(t0),
+                               'ok': True,
+                               **{k: v for k, v in ph.items()
+                                  if k != 'identifier'}}
+                        log.write(json.dumps(rec) + '\n')
+                        append_result(ph['identifier'], ph['pll_train'],
+                                      ph['pll_valid'], ph['pll_test'],
+                                      ph['cmll_test'], path=args.result_file)
+                        print(f"    posthoc {ph['identifier']} "
+                              f"pll-test={ph['pll_test']:.5f}",
+                              file=sys.stderr)
             except KeyboardInterrupt:
                 raise
             except Exception as e:  # noqa: BLE001 — joblog records the cells

@@ -4,11 +4,12 @@
 For each structured dataset where the paper-vs-rebuild gap is largest
 (students, 50-17-8, pumsb_star, accidents), take the round-3 regenerated
 tuned winner (logs/regen-r3.jsonl, best valid PLL) and re-run the SAME
-recipe with `--cpt-parents M` for M in {1, 2, 3}: stage-2 tables become
+recipe with `--cpt-parents-eval M1,M2,...`: stage-2 tables become
 p(y_v=1 | code_v, y_parents(v)) with the M highest-MI partner variables as
 parents (pgmvae_tpu/stage2.py:select_parents). Training is unchanged —
 only the stage-2 conditioning set grows — so any PLL movement is purely
-the quality lever being measured.
+the quality lever being measured, and ONE training per dataset yields the
+whole M sweep (post-hoc eval; the M=0 control is the primary record).
 
 Cells are dispatched through run_pipeline.py (packed seeds, joblog
 resumable, subprocess isolation), so every resulting identifier
@@ -105,7 +106,7 @@ def main() -> int:
                '-c', rec['c'], '-g', rec['g_'],
                '--dead-code-threshold', rec['dcr'],
                '--select-on-valid', rec['sov'],
-               '-s', args.seeds, '--cpt-parents', args.parents]
+               '-s', args.seeds, '--cpt-parents-eval', args.parents]
         print('+', ' '.join(cmd), flush=True)
         if not args.dry_run:
             subprocess.run(['timeout', '21600', *cmd], check=False)

@@ -51,14 +51,23 @@ for st in $STAGES; do
           > logs/cptp-r4.out 2>&1 || true
       # small datasets at their tuned recipes (CPU pilot showed nltcs
       # -5.263 -> -5.056 with M=0..3; these record the TPU trajectories)
+      # post-hoc eval mode: one training per dataset, stage-2 at M=1..3
+      # (cpe-M records; with no select-on-valid these are bit-identical to
+      # retrained cptp-M cells — tests/test_cpt_parents.py)
       timeout 3600 python run_pipeline.py --joblog logs/cptp-small-r4.jsonl \
           --result-file logs/cptp-small-r4-result.txt \
           -n nltcs -k 100 -d 10 -b 128 -e 100 -r 0.003 -c 0.25 -s 1 \
-          --cpt-parents 0,1,2,3 > logs/cptp-small-nltcs.out 2>&1 || true
+          --cpt-parents-eval 1,2,3 > logs/cptp-small-nltcs.out 2>&1 || true
       timeout 3600 python run_pipeline.py --joblog logs/cptp-small-r4.jsonl \
           --result-file logs/cptp-small-r4-result.txt \
           -n bn2o-30-20-200-2a -k 50 -d 30 -b 128 -e 100 -r 0.003 -c 0.25 \
-          -s 1 --cpt-parents 0,1,2,3 > logs/cptp-small-bn2o.out 2>&1 || true
+          -s 1 --cpt-parents-eval 1,2,3 > logs/cptp-small-bn2o.out 2>&1 || true
+      # dna on TPU: the CPU headline (M=3 -59.40 vs M=0 -100.38) re-measured
+      # on the chip at the same recipe
+      timeout 7200 python run_pipeline.py --joblog logs/cptp-small-r4.jsonl \
+          --result-file logs/cptp-small-r4-result.txt \
+          -n dna -k 200 -d 10 -b 100 -e 300 -r 0.001 -c 0.1 -s 4 \
+          --cpt-parents-eval 1,2,3,4 > logs/cptp-small-dna.out 2>&1 || true
       log "cptp campaign done"
       ;;
     students_cmll)

@@ -110,6 +110,9 @@ def test_parse_identifier_round_trips_every_field():
              units=(12, 10), zero_debias=False, precision='highest',
              activation='relu', l2_reg=1e-4, cpt_parents=2,
              first_layer='rank1'),
+        dict(name='accidents', embedding=500, dim=30, ema=True,
+             select_on_valid=40, packed_seeds=3,
+             cpt_parents_eval=(1, 2, 3)),       # post-hoc joint-CPT sweep
     ]
     for kw in configs:
         exp = ExperimentConfig(**kw)

@@ -121,6 +121,32 @@ def test_get_probability_and_cmll_with_parents():
     assert np.isfinite(cmll) and cmll < 0
 
 
+def test_cpt_parents_eval_posthoc_matches_retrain():
+    """--cpt-parents-eval: one training, per-M stage-2 records. With no
+    select-on-valid, a cpe-M number must be BIT-identical to a from-scratch
+    cptp-M cell (stage-1 training is independent of M)."""
+    base = dict(name='nltcs', embedding=8, dim=4, batch=512, epoch=1,
+                rate=0.01, ema=True, seed=0, units=(8, 6))
+    combo = run_experiment(ExperimentConfig(**base, cpt_parents_eval=(1, 2)))
+    # the primary record is the plain cell: no cpe suffix in its identifier
+    assert 'cpe' not in combo['identifier']
+    ph = {r['identifier'].rsplit('cpe-', 1)[1]: r for r in combo['posthoc']}
+    assert set(ph) == {'1', '2'}
+    assert all(r['posthoc_of'] == combo['identifier']
+               for r in combo['posthoc'])
+
+    retrained = run_experiment(ExperimentConfig(**base, cpt_parents=2))
+    assert ph['2']['pll_test'] == retrained['pll_test']
+    assert ph['2']['pll_train'] == retrained['pll_train']
+    assert ph['2']['pll_valid'] == retrained['pll_valid']
+
+    # cpe identifiers round-trip through the verified parser
+    from pgmvae_tpu.utils.logging import parse_identifier
+    kw = parse_identifier(ph['1']['identifier'])
+    assert kw['cpt_parents_eval'] == (1,)
+    assert ExperimentConfig(**kw).identifier == ph['1']['identifier']
+
+
 def test_driver_cpt_parents_end_to_end(tmp_path):
     base = dict(name='nltcs', embedding=8, dim=4, batch=512, epoch=1,
                 rate=0.01, ema=True, seed=0, units=(8, 6))

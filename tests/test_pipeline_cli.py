@@ -141,3 +141,33 @@ def test_adam_impl_flag_is_identifier_encoded(tmp_path):
     # and the identifier round-trips back to the fused recipe
     from pgmvae_tpu.utils.logging import parse_identifier
     assert parse_identifier(rec['identifier'])['adam_impl'] == 'fused'
+
+
+def test_sweep_cpt_parents_eval_posthoc_records(tmp_path):
+    """--cpt-parents-eval: one training emits the primary record PLUS one
+    regenerable cpe-M record per listed M; resume treats the cell as done
+    only when every cpe record is present."""
+    joblog = str(tmp_path / 'joblog.jsonl')
+    res = str(tmp_path / 'result.txt')
+    base = ['-n', 'nltcs', '-k', '8', '-d', '4', '-b', '512', '-e', '1',
+            '-r', '0.01', '-m', '--cpt-parents-eval', '1,2',
+            '--joblog', joblog, '--result-file', res]
+    out = _run(base)
+    assert out.returncode == 0, out.stderr[-800:]
+    recs = [json.loads(l) for l in open(joblog)]
+    assert len(recs) == 3 and all(r['ok'] for r in recs)
+    cpe = [r for r in recs if '_cpe-' in r['identifier']]
+    assert sorted(r['identifier'].rsplit('cpe-', 1)[1] for r in cpe) \
+        == ['1', '2']
+    assert all(r['posthoc_of'] == recs[0]['identifier'] for r in cpe)
+    assert sum(1 for _ in open(res)) == 3
+    # resume: primary + all cpe records present -> nothing re-runs
+    out2 = _run(base)
+    assert out2.returncode == 0
+    assert sum(1 for _ in open(joblog)) == 3
+    # a WIDER eval list re-runs the cell to produce the missing cpe record
+    out3 = _run(base[:-4] + ['--cpt-parents-eval', '1,2,3',
+                             '--joblog', joblog, '--result-file', res])
+    assert out3.returncode == 0
+    recs = [json.loads(l) for l in open(joblog)]
+    assert sum('_cpe-3' in r['identifier'] for r in recs) == 1
