@@ -12,7 +12,7 @@ while [ -f /tmp/cptp_chain.pid ] && kill -0 "$(cat /tmp/cptp_chain.pid)" \
     2>/dev/null; do sleep 60; done
 timeout 25000 python run_pipeline.py --joblog logs/cptp-cpu-r4.jsonl \
     --result-file logs/cptp-cpu-r4-result.txt --device -1 \
-    -n accidents -k 500 -d 30 -b 128 -e 200 -r 0.003 -c 0.25 -g 0.99 \
+    -n accidents -k 500 -d 30 -b 128 -e 200 -r 0.003 -c 0.25 -m -g 0.99 \
     --dead-code-threshold 0.1 --select-on-valid 40 -s 2 \
     --cpt-parents-eval 1,2,3 > logs/cptp-cpu-accidents.out 2>&1 || true
 echo "accidents cpu cell done: $(date -u +%H:%M:%S)"
