@@ -31,6 +31,11 @@ for st in $STAGES; do
       timeout 1800 python scripts/bench_step_anatomy.py \
           --adam-impl fused_bf16 --compute-dtype bf16 \
           > logs/anatomy_bf16.out 2>&1 || true
+      # MFU ceiling: bs=1000 amortizes the Adam HBM traffic (the measured
+      # step dominator: 6.67 GB/step regardless of batch) over 4x samples
+      timeout 1800 python scripts/bench_step_anatomy.py --batch 1000 \
+          --adam-impl fused_bf16 --compute-dtype bf16 \
+          > logs/anatomy_bf16_bs1000.out 2>&1 || true
       log "anatomy sweep done"
       ;;
     kdd)
