@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Winner report for the joint-code CPT campaign (VERDICT r3 #3).
+
+Reads the campaign joblogs (CPU insurance cells + TPU campaign when it
+ran), groups every record by its BASE identifier (the `_cptp-M`
+retrained cells and `_cpe-M` post-hoc evals of one training collapse to
+one group; M=0 is the primary record), selects the winning M by
+validation PLL, and emits a markdown report comparing each dataset's
+winner against the tuned-table best parsed from RESULTS.md and the
+paper number carried in the joblog.
+
+The same pattern as scripts/regen_report.py: RESULTS.md's prose cites
+this report; the report regenerates from raw joblogs alone, so the two
+can never silently diverge.
+
+Usage: python scripts/cptp_report.py [--joblogs a.jsonl,b.jsonl]
+           [--out logs/cptp-r4-report.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+from collections import defaultdict
+
+_SUFFIX = re.compile(r'_(?:cptp|cpe)-(\d+)$')
+
+DEFAULT_JOBLOGS = ['logs/cptp-cpu-r4.jsonl', 'logs/cptp-small-r4.jsonl',
+                   'logs/cptp-r3.jsonl', 'logs/cptp-r4.jsonl']
+
+
+def tuned_bests(results_md: str) -> dict:
+    """dataset -> tuned test PLL from RESULTS.md's tuned table (column 4).
+
+    RESULTS.md holds several markdown tables; the tuned table is the one
+    whose header row is `| dataset | vars | repro | tuned (ours) | ...` —
+    rows are only collected while inside that table."""
+    best = {}
+    if not os.path.exists(results_md):
+        return best
+    in_tuned = False
+    for line in open(results_md):
+        cols = [c.strip() for c in line.split('|')]
+        if len(cols) > 3 and cols[1] == 'dataset':
+            in_tuned = cols[2] == 'vars'
+            continue
+        if not line.startswith('|'):
+            in_tuned = False
+            continue
+        if in_tuned and len(cols) >= 8 and cols[1] and not cols[1].startswith('-'):
+            try:
+                best[cols[1]] = float(cols[4])
+            except ValueError:
+                continue
+    return best
+
+
+def collect(joblogs) -> dict:
+    """base identifier -> {M: record}; later duplicates win (rerun = newest)."""
+    groups = defaultdict(dict)
+    for path in joblogs:
+        if not os.path.exists(path):
+            continue
+        for line in open(path):
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if not rec.get('ok'):
+                continue
+            ident = rec['identifier']
+            mm = _SUFFIX.search(ident)
+            m = int(mm.group(1)) if mm else 0
+            base = _SUFFIX.sub('', ident)
+            groups[base][m] = rec
+    return groups
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--joblogs', default=','.join(DEFAULT_JOBLOGS))
+    ap.add_argument('--results-md', default='RESULTS.md')
+    ap.add_argument('--out', default='logs/cptp-r4-report.md')
+    args = ap.parse_args()
+
+    groups = collect(args.joblogs.split(','))
+    bests = tuned_bests(args.results_md)
+
+    lines = ['# Joint-code CPT campaign — winner report',
+             '',
+             f'Regenerated from `{args.joblogs}` by scripts/cptp_report.py.',
+             'Winner M selected by validation PLL; "tuned best" parsed from',
+             'the RESULTS.md tuned table; delta = winner test − tuned best',
+             '(positive = the joint-CPT lever beats the tuned table).', '',
+             '| dataset | base identifier | winner M (by valid) | '
+             'test @ winner | tuned best | delta | paper |',
+             '|---|---|---|---|---|---|---|']
+    summary = []
+    for base in sorted(groups):
+        ms = groups[base]
+        if len(ms) < 2:
+            continue                     # no lever sweep, just a lone cell
+        name = base.split('_K-')[0]
+        win_m = max(ms, key=lambda m: ms[m]['pll_valid'])
+        win = ms[win_m]
+        tuned = bests.get(name)
+        delta = (win['pll_test'] - tuned) if tuned is not None else None
+        paper = win.get('paper_pll')
+        lines.append(
+            f"| {name} | `{base}` | {win_m} | {win['pll_test']:.4f} | "
+            f"{tuned if tuned is not None else 'n/a'} | "
+            f"{f'{delta:+.2f}' if delta is not None else 'n/a'} | "
+            f"{paper if paper is not None else 'n/a'} |")
+        summary.append({'dataset': name, 'base': base, 'winner_m': win_m,
+                        'pll_test': win['pll_test'],
+                        'pll_valid': win['pll_valid'],
+                        'm_tested': sorted(ms),
+                        'tuned_best': tuned, 'delta_vs_tuned': delta,
+                        'paper': paper,
+                        'platform': win.get('platform', 'tpu')})
+    lines += ['', '## Full M sweeps', '']
+    for base in sorted(groups):
+        ms = groups[base]
+        if len(ms) < 2:
+            continue
+        lines.append(f'- `{base}`: ' + ', '.join(
+            f"M={m}: {ms[m]['pll_test']:.4f}" for m in sorted(ms)))
+    out = '\n'.join(lines) + '\n'
+    with open(args.out, 'w') as f:
+        f.write(out)
+    print(out)
+    print(json.dumps({'datasets': summary}), file=sys.stderr)
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

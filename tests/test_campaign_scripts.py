@@ -155,3 +155,50 @@ def test_cptp_parse_refuses_unforwarded_fields():
                               dim=30).identifier
     with pytest.raises(ValueError):
         cpt.parse_identifier(no_ema)
+
+
+def test_cptp_report_groups_and_scopes_tuned_table(tmp_path, capsys):
+    """cptp_report must (a) group _cptp-M/_cpe-M records under their base
+    identifier with M=0 = the primary cell, (b) pick the winner M by valid
+    PLL, and (c) read tuned bests ONLY from the RESULTS.md table headed
+    `| dataset | vars | ... |` — a later joint-CPT table with the same
+    column count must not shadow it (the bug the first run of this report
+    had)."""
+    cr = _load('cr', os.path.join(REPO, 'scripts', 'cptp_report.py'))
+    base = ('dna_K-200_D-10_bs-100_epk-300_lr-0.001_bta-0.1_ema-False'
+            '_gma-0.99_sd-4-')
+    joblog = _write_joblog(tmp_path, [
+        {'identifier': base, 'ok': True, 'pll_valid': -100.6,
+         'pll_test': -100.4, 'paper_pll': -58.46},
+        {'identifier': base + '_cptp-1', 'ok': True, 'pll_valid': -83.3,
+         'pll_test': -83.5, 'paper_pll': -58.46},
+        {'identifier': base + '_cpe-2', 'ok': True, 'pll_valid': -61.0,
+         'pll_test': -61.6, 'paper_pll': -58.46},
+        {'identifier': base + '_cpe-3', 'ok': True, 'pll_valid': -58.9,
+         'pll_test': -59.4, 'paper_pll': -58.46},
+        {'identifier': base + '_cpe-4', 'ok': True, 'pll_valid': -58.95,
+         'pll_test': -59.42, 'paper_pll': -58.46},     # worse valid than M=3
+    ])
+    results = tmp_path / 'RESULTS.md'
+    results.write_text(
+        '| dataset | vars | repro | tuned (ours) | repo best | paper | a | b |\n'
+        '|---|---|---|---|---|---|---|---|\n'
+        '| dna | 180 | -100.38 | -98.6149 | -99.12 | -58.46 | x | y |\n'
+        '\n'
+        '| dataset | M=0 | M=1 | M=2 | M=3 | tuned-table best | paper |\n'
+        '|---|---|---|---|---|---|---|\n'
+        '| dna | -100.38 | -83.45 | -61.56 | -59.40 | -98.6149 | -58.46 |\n')
+    out_md = tmp_path / 'report.md'
+    sys.argv = ['cptp_report.py', '--joblogs', joblog,
+                '--results-md', str(results), '--out', str(out_md)]
+    cr.main()
+    err = capsys.readouterr().err
+    summary = json.loads([l for l in err.splitlines()
+                          if l.startswith('{')][-1])
+    (d,) = summary['datasets']
+    assert d['dataset'] == 'dna'
+    assert d['winner_m'] == 3                      # by valid, not test
+    assert d['pll_test'] == -59.4
+    assert d['tuned_best'] == -98.6149             # from the FIRST table
+    assert d['m_tested'] == [0, 1, 2, 3, 4]
+    assert abs(d['delta_vs_tuned'] - 39.2149) < 1e-6
