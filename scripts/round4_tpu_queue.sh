@@ -73,6 +73,9 @@ for st in $STAGES; do
           --result-file logs/cptp-small-r4-result.txt \
           -n dna -k 200 -d 10 -b 100 -e 300 -r 0.001 -c 0.1 -s 4 \
           --cpt-parents-eval 1,2,3,4 > logs/cptp-small-dna.out 2>&1 || true
+      # regenerate the winner report from all campaign joblogs
+      timeout 300 python scripts/cptp_report.py \
+          > logs/cptp-report.out 2>&1 || true
       log "cptp campaign done"
       ;;
     students_cmll)
