@@ -104,8 +104,31 @@ def measure_tf2_baseline() -> tuple:
         return TF2_MEASURED_FALLBACK, f'recorded measurement (live run failed: {type(e).__name__})'
 
 
+def probe_chip(timeout_s: int = 240) -> bool:
+    """Bounded liveness probe of the accelerator grant in a THROWAWAY
+    subprocess (a hung tunnel would otherwise stall this process's own
+    backend init past any deadline we could enforce)."""
+    try:
+        out = subprocess.run(
+            [sys.executable, '-c',
+             "import jax; jax.devices(); print('up')"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return 'up' in out.stdout
+    except Exception:  # noqa: BLE001 — any failure means "not usable"
+        return False
+
+
 def main() -> int:
     import jax
+
+    # Graceful degradation: if the TPU tunnel is down (observed multi-hour
+    # axon outages), emit an honestly-labeled CPU measurement instead of
+    # hanging in backend init and producing no benchmark record at all.
+    platform_note = 'tpu'
+    if os.environ.get('PGMVAE_BENCH_CPU') or not probe_chip():
+        jax.config.update('jax_platforms', 'cpu')
+        platform_note = 'cpu (TPU grant unavailable at bench time)'
+        print('bench: TPU probe failed -> CPU fallback', file=sys.stderr)
     import jax.numpy as jnp
 
     from pgmvae_tpu.utils.cache import enable_compilation_cache
@@ -165,6 +188,19 @@ def main() -> int:
     from pgmvae_tpu.registry import REGISTRY, default_units
 
     extras = {}
+    if platform_note != 'tpu':
+        extras['large_model_skipped'] = ('CPU fallback: the bbc/ad MFU '
+                                         'cells are TPU measurements')
+        print(json.dumps({
+            'metric': 'stage-1 train throughput (nltcs K=50 D=10 bs=128 EMA)',
+            'value': round(samples_per_sec, 1),
+            'unit': 'samples/sec/chip',
+            'vs_baseline': round(samples_per_sec / baseline_sps, 2),
+            'platform': platform_note,
+            'nltcs_dispatch_bound_sps': round(samples_per_sec, 1),
+            **extras,
+        }))
+        return 0
     try:
         y_bbc = load_split('bbc', 'train')
         bbc_cfg = VqVaeConfig(
@@ -218,6 +254,7 @@ def main() -> int:
         'value': round(samples_per_sec, 1),
         'unit': 'samples/sec/chip',
         'vs_baseline': round(samples_per_sec / baseline_sps, 2),
+        'platform': platform_note,
         'nltcs_dispatch_bound_sps': round(samples_per_sec, 1),
         **extras,
     }))
