@@ -104,6 +104,40 @@ def measure_tf2_baseline() -> tuple:
         return TF2_MEASURED_FALLBACK, f'recorded measurement (live run failed: {type(e).__name__})'
 
 
+def last_tpu_record():
+    """(record, source) of the most recent TPU bench measurement.
+
+    A chip outage at bench time must not erase the framework's measured
+    TPU numbers from the round artifact (round-4 verdict: the CPU-fallback
+    0.65x line was regression-shaped noise). Prefers logs/bench_tpu_last.json
+    (written by every successful TPU run of this script), else the
+    highest-round BENCH_r*.json whose platform was TPU."""
+    import glob
+    root = os.path.dirname(os.path.abspath(__file__))
+    p = os.path.join(root, 'logs', 'bench_tpu_last.json')
+    if os.path.exists(p):
+        try:
+            with open(p) as f:
+                return json.load(f), 'logs/bench_tpu_last.json'
+        except Exception:  # noqa: BLE001 — fall through to round records
+            pass
+    best = (None, None)
+    for p in glob.glob(os.path.join(root, 'BENCH_r*.json')):
+        try:
+            with open(p) as f:
+                doc = json.load(f)
+            rec = doc.get('parsed') or {}
+            if not str(rec.get('platform', 'tpu')).startswith('tpu'):
+                continue
+            if best[0] is None or doc.get('n', 0) > best[0].get('_n', -1):
+                best = ({**rec, '_n': doc.get('n', 0)}, os.path.basename(p))
+        except Exception:  # noqa: BLE001 — skip unreadable records
+            continue
+    if best[0] is not None:
+        best[0].pop('_n', None)
+    return best
+
+
 def probe_chip(timeout_s: int = 240) -> bool:
     """Bounded liveness probe of the accelerator grant in a THROWAWAY
     subprocess (a hung tunnel would otherwise stall this process's own
@@ -191,6 +225,10 @@ def main() -> int:
     if platform_note != 'tpu':
         extras['large_model_skipped'] = ('CPU fallback: the bbc/ad MFU '
                                          'cells are TPU measurements')
+        tpu_rec, tpu_src = last_tpu_record()
+        if tpu_rec is not None:
+            extras['last_tpu_measurement'] = tpu_rec
+            extras['last_tpu_source'] = tpu_src
         print(json.dumps({
             'metric': 'stage-1 train throughput (nltcs K=50 D=10 bs=128 EMA)',
             'value': round(samples_per_sec, 1),
@@ -249,7 +287,7 @@ def main() -> int:
               file=sys.stderr)
         extras['large_model_error'] = f'{type(e).__name__}: {e}'[:300]
 
-    print(json.dumps({
+    out = {
         'metric': 'stage-1 train throughput (nltcs K=50 D=10 bs=128 EMA)',
         'value': round(samples_per_sec, 1),
         'unit': 'samples/sec/chip',
@@ -257,7 +295,16 @@ def main() -> int:
         'platform': platform_note,
         'nltcs_dispatch_bound_sps': round(samples_per_sec, 1),
         **extras,
-    }))
+    }
+    # persist the TPU measurement so a later CPU-fallback run can embed it
+    try:
+        os.makedirs('logs', exist_ok=True)
+        with open('logs/bench_tpu_last.json', 'w') as f:
+            json.dump({**out, 'measured_at': time.strftime(
+                '%Y-%m-%dT%H:%M:%SZ', time.gmtime())}, f)
+    except Exception as e:  # noqa: BLE001 — persistence is best-effort
+        print(f'bench: could not persist TPU record: {e}', file=sys.stderr)
+    print(json.dumps(out))
     return 0
 
 

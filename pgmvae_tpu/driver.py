@@ -80,6 +80,20 @@ class ExperimentConfig:
     verbose: bool = False
     log_dir: Optional[str] = None       # JSONL metrics directory
 
+    def __post_init__(self):
+        # Fail BEFORE training, not after: Stage2 only sees M when stage 2
+        # starts, so an out-of-range --cpt-parents-eval used to waste a full
+        # training run (M>8) or silently evaluate M=0 under a mislabeled,
+        # non-round-trippable cpe--1 identifier (M<0). Bounds match
+        # Stage2.__init__ (2^M joint-state columns; M<=8 keeps them sane).
+        if not 0 <= self.cpt_parents <= 8:
+            raise ValueError(f'cpt_parents must be in [0, 8], '
+                             f'got {self.cpt_parents}')
+        bad = [m for m in self.cpt_parents_eval if not 0 <= m <= 8]
+        if bad:
+            raise ValueError(f'cpt_parents_eval values must be in [0, 8], '
+                             f'got {bad}')
+
     @property
     def identifier(self) -> str:
         from pgmvae_tpu.utils.logging import run_identifier
@@ -99,6 +113,19 @@ class ExperimentConfig:
                               adam_impl=self.adam_impl,
                               compute_dtype=self.compute_dtype,
                               cpt_parents_eval=self.cpt_parents_eval)
+
+
+def _check_naive_dim(quantizer: str, dim: int) -> None:
+    """Refuse naive-quantizer dims whose stage-2 tables (2^dim columns)
+    could never be tabulated — BEFORE training burns a full run (the same
+    bound Stage2.__init__ enforces; reference bug context
+    core/quantizer.py:179-201)."""
+    from pgmvae_tpu.stage2 import NAIVE_STAGE2_MAX_DIM
+    if quantizer == 'naive' and dim > NAIVE_STAGE2_MAX_DIM:
+        raise ValueError(
+            f"quantizer='naive' with dim={dim}: stage 2 counts over 2^dim "
+            f"= 2**{dim} code columns per variable; use dim <= "
+            f"{NAIVE_STAGE2_MAX_DIM} or a finite-codebook quantizer")
 
 
 def _posthoc_cpt_records(exp, cfg, mesh_ctx, params, codebook, y_train,
@@ -182,6 +209,7 @@ def run_packed_experiments(exps) -> list:
 
     info = REGISTRY[base.name]
     quantizer = base.quantizer or ('ema' if base.ema else 'vq')
+    _check_naive_dim(quantizer, base.dim)
     units = tuple(base.units) if base.units else info.encoder_units(base.dim)
     cfg = VqVaeConfig(n_var=info.n_var, units=units, dim=base.dim,
                       num_codes=base.embedding, cost=base.cost,
@@ -324,6 +352,7 @@ def run_experiment(exp: ExperimentConfig) -> dict:
                        f"{', '.join(sorted(REGISTRY))}")
     info = REGISTRY[exp.name]
     quantizer = exp.quantizer or ('ema' if exp.ema else 'vq')
+    _check_naive_dim(quantizer, exp.dim)
     units = tuple(exp.units) if exp.units else info.encoder_units(
         exp.dim, mesh_model=exp.mesh_model)
 

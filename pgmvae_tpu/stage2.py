@@ -50,6 +50,9 @@ from pgmvae_tpu.parallel.mesh import MeshContext
 
 SMOOTHING = 0.8     # reference core/model.py:88
 LOG_EPS = 1e-5      # reference core/model.py:93-94
+NAIVE_STAGE2_MAX_DIM = 20   # naive quantizer: 2^dim count columns; past
+#                             ~1M columns the [n_var, 2^dim] tables stop
+#                             being a sane tabulation (and would OOM)
 
 
 def mutual_information_matrix(y: np.ndarray) -> np.ndarray:
@@ -111,6 +114,16 @@ class Stage2:
                  parents: Optional[np.ndarray] = None):
         self.cfg = cfg
         self.k = cfg.effective_codes
+        # the naive quantizer's implicit codebook is the D-cube's corners
+        # (reference core/quantizer.py:179-201): stage-2 count buffers are
+        # [n_var, 2^dim] — refuse dims whose table could never fit instead
+        # of attempting a multi-GB allocation (round-3 verdict item)
+        if cfg.quantizer == 'naive' and cfg.dim > NAIVE_STAGE2_MAX_DIM:
+            raise ValueError(
+                f"quantizer='naive' counts over 2^dim = 2**{cfg.dim} stage-2 "
+                f"code columns per variable; dim > {NAIVE_STAGE2_MAX_DIM} "
+                f"cannot be tabulated (use dim <= {NAIVE_STAGE2_MAX_DIM} or "
+                f"a finite-codebook quantizer)")
         self.mesh = mesh_ctx or MeshContext(None)
         # joint-code CPTs: condition each variable's table on its code AND
         # the observed values of `parents` [active_vars, m] partner

@@ -15,7 +15,16 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
+
+# A note whose tail LOOKS like an identifier extension field (e.g. note
+# 'x_pk-3' or 'foo_nzd') would be peeled into the wrong config field by
+# parse_identifier, yet rebuild byte-identically — a silently lossy parse,
+# exactly the failure the round-trip check exists to prevent (round-4
+# advisor finding). Such notes are rejected at identifier-build time.
+_AMBIGUOUS_NOTE = re.compile(
+    r'_(?:qz|un|fm|dcr|prc|act|l2|sov|cptp|fl|pk|ad|cd|cpe)-|_nzd$')
 
 
 def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
@@ -35,6 +44,11 @@ def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
     so (a) reference-compatible runs keep the exact reference identifier and
     (b) two sweep cells that differ in any semantic knob can never collide
     in a joblog or result file."""
+    if note and _AMBIGUOUS_NOTE.search(note):
+        raise ValueError(
+            f'note {note!r} is separator-ambiguous: it contains an '
+            f'identifier-extension pattern (_<ext>-... or _nzd tail) that '
+            f'parse_identifier would peel into the wrong field')
     base = (f"{name}_K-{k}_D-{d}_bs-{bs}_epk-{epochs}_lr-{lr}_bta-{beta}"
             f"_ema-{ema}_gma-{gamma}_sd-{seed}-{note}")
     ext = []

@@ -190,6 +190,47 @@ def group_packed(cells, pack: int):
     return groups
 
 
+def classify_cell(cell, group_width: int, status: dict,
+                  want_cmll: bool = False):
+    """Resume classification for one cell of a `group_width`-wide packed
+    group against the joblog `status` map.
+
+    Returns 'done', 'failed', or 'todo'. A done cell may be recorded under
+    its unpacked identifier OR a pk-S one for ANY S up to the group width
+    (a partial rerun packs only the todo subset, so S = len(todo) of that
+    invocation — probing just {1, width} left those records unrecognized
+    and retrained the lanes forever; round-4 advisor finding); legacy
+    joblogs predate the pk field entirely. The primary record is always
+    written WITHOUT the cpe eval-list suffix; a cell with
+    --cpt-parents-eval is only done once every cpe-M record is ok too, and
+    with `want_cmll` only once its record carries a real CMLL (cmll_test
+    != 1, the CMLL-off sentinel of reference run.py:77)."""
+    prev, cpe_done = None, True
+    for s in range(group_width, 0, -1):
+        c_s = dataclasses.replace(cell, packed_seeds=s,
+                                  cpt_parents_eval=())
+        rec = status.get(c_s.identifier)
+        if rec is None:
+            continue
+        if prev is None or (rec.get('ok') and not prev.get('ok')):
+            prev = rec
+            cpe_done = all(
+                status.get(dataclasses.replace(
+                    c_s, cpt_parents_eval=(m,)).identifier,
+                    {}).get('ok', False)
+                for m in cell.cpt_parents_eval)
+        if rec.get('ok'):
+            break
+    if prev is None:
+        return 'todo'
+    cmll_done = not want_cmll or prev.get('cmll_test', 1) != 1
+    if prev.get('ok') and cpe_done and cmll_done:
+        return 'done'
+    if not prev.get('ok'):
+        return 'failed'
+    return 'todo'
+
+
 def load_joblog(path: str) -> dict:
     """Last-writer-wins status per cell identifier."""
     status = {}
@@ -250,9 +291,7 @@ def main(argv=None) -> int:
     groups = group_packed(cells, pack)
     done = sum(
         1 for g in groups for c in g
-        if any(status.get(dataclasses.replace(
-            c, packed_seeds=s, cpt_parents_eval=()).identifier,
-            {}).get('ok', False) for s in {1, len(g)}))
+        if classify_cell(c, len(g), status, args.cmll) == 'done')
     print(f'sweep: {len(cells)} cells ({done} already done, '
           f'joblog {args.joblog})', file=sys.stderr)
 
@@ -262,30 +301,12 @@ def main(argv=None) -> int:
         for group in groups:
             todo = []
             for cell in group:
-                # a done cell may be recorded under its unpacked identifier
-                # OR a pk-S one (S = the group width it actually ran at);
-                # legacy joblogs predate the pk field entirely. The primary
-                # record is always written WITHOUT the cpe eval-list suffix;
-                # a cell with --cpt-parents-eval is only done once every
-                # cpe-M record is ok too (else rerun to produce them).
-                prev, cpe_done = None, True
-                for s in {1, len(group)}:
-                    c_s = dataclasses.replace(cell, packed_seeds=s,
-                                              cpt_parents_eval=())
-                    if c_s.identifier in status:
-                        prev = status[c_s.identifier]
-                        cpe_done = all(
-                            status.get(dataclasses.replace(
-                                c_s, cpt_parents_eval=(m,)).identifier,
-                                {}).get('ok', False)
-                            for m in cell.cpt_parents_eval)
-                        break
-                if prev is not None:
-                    if prev.get('ok') and cpe_done:
-                        continue
-                    if not prev.get('ok') and not args.retry_failed:
-                        failures += 1
-                        continue
+                state = classify_cell(cell, len(group), status, args.cmll)
+                if state == 'done':
+                    continue
+                if state == 'failed' and not args.retry_failed:
+                    failures += 1
+                    continue
                 todo.append(cell)
             if not todo:
                 continue

@@ -26,7 +26,22 @@ import re
 import sys
 from collections import defaultdict
 
-_SUFFIX = re.compile(r'_(?:cptp|cpe)-(\d+)$')
+# the cptp/cpe field may be followed by later-appended extension fields
+# (run_identifier order: cptp < fl < pk < ad < cd), so anchor on "rest of
+# string is only such fields" instead of end-of-string — a packed or
+# fused-adam cptp cell must land in the same sweep group as its siblings
+# (round-4 advisor finding)
+_SUFFIX = re.compile(
+    r'_(?:cptp|cpe)-(\d+)'
+    r'(?=(?:_(?:fl-(?:rank1|auto)|pk-\d+|ad-\w+|cd-bf16))*$)')
+
+
+def split_m(ident: str):
+    """(base identifier with the cptp/cpe field removed, M)."""
+    mm = _SUFFIX.search(ident)
+    if not mm:
+        return ident, 0
+    return ident[:mm.start()] + ident[mm.end():], int(mm.group(1))
 
 DEFAULT_JOBLOGS = ['logs/cptp-cpu-r4.jsonl', 'logs/cptp-small-r4.jsonl',
                    'logs/cptp-r3.jsonl', 'logs/cptp-r4.jsonl']
@@ -71,10 +86,7 @@ def collect(joblogs) -> dict:
                 continue
             if not rec.get('ok'):
                 continue
-            ident = rec['identifier']
-            mm = _SUFFIX.search(ident)
-            m = int(mm.group(1)) if mm else 0
-            base = _SUFFIX.sub('', ident)
+            base, m = split_m(rec['identifier'])
             groups[base][m] = rec
     return groups
 

@@ -8,6 +8,13 @@
 # Usage: scripts/round4_tpu_queue.sh [stage...]   (default: all stages)
 set -u
 cd "$(dirname "$0")/.."
+# Round 5: the chip never returned during round 4, so the still-running
+# chip_watcher.sh (which cannot be safely edited while executing) points
+# here. Delegate default invocations to the round-5 queue, whose bench-first
+# ordering secures a TPU BENCH number before anything long-running starts.
+if [ $# -eq 0 ] && [ -f scripts/round5_tpu_queue.sh ]; then
+  exec bash scripts/round5_tpu_queue.sh
+fi
 # cheap/high-value first: probe (MFU decision) and bbc250 (quality-at-speed)
 # are ~30 min each; cptp is the remaining quality lever; the rest follow.
 STAGES=${@:-probe bbc250 cptp kdd students_cmll streaming bench}
