@@ -83,6 +83,11 @@ def bench_model(label, cfg, data_host, batch, lr, epochs,
           f'= {100 * mfu:.1f}% of v5e bf16 peak ({V5E_PEAK_FLOPS / 1e12:.0f} '
           f'TFLOP/s); loss={float(m.loss[-1]):.5f}', file=sys.stderr)
     del trainer, state, data, m
+    # in-process sequential cells accumulate HBM until RESOURCE_EXHAUSTED
+    # at bbc scale (round-5: the bf16 cell OOMed after 3 bbc cells);
+    # dropping the executable cache costs one recompile per cell but keeps
+    # the whole suite inside a v5e's 16 GB
+    jax.clear_caches()
     gc.collect()
     return {'samples_per_sec': round(sps, 1),
             'gflop_per_sample': round(fps / 1e9, 3),
@@ -239,6 +244,21 @@ def main() -> int:
             **extras,
         }))
         return 0
+    def cell(key, label, *args, **kw):
+        # per-cell fault isolation: one OOM must not erase the remaining
+        # cells (round-5: the bf16 cell RESOURCE_EXHAUSTED'd and took the
+        # rank1 + ad-scale measurements with it). Clear the executable
+        # cache after a failure so its reserved buffers are reclaimable.
+        import jax
+        try:
+            extras[key] = bench_model(label, *args, **kw)
+        except Exception as e:  # noqa: BLE001 — keep benching
+            print(f'{label} failed: {type(e).__name__}: {e}',
+                  file=sys.stderr)
+            extras[f'{key}_error'] = f'{type(e).__name__}: {e}'[:300]
+            jax.clear_caches()
+            gc.collect()
+
     try:
         y_bbc = load_split('bbc', 'train')
         bbc_cfg = VqVaeConfig(
@@ -247,41 +267,41 @@ def main() -> int:
             dead_code_threshold=0.25, fan_mode='per_network')
         # the recipe behind the RESULTS.md flagship quality row (test PLL
         # -255.648 > the reference's recorded -255.841)
-        r = bench_model('bbc quality recipe (bs=25)', bbc_cfg, y_bbc,
-                        25, 0.003, 8)
-        extras['bbc_quality_recipe'] = {
-            'identifier': 'bbc_K-50_D-20_bs-25_epk-600_lr-0.003_bta-0.05'
-                          '_ema-True_gma-0.9_sd-3-_fm-per_network_dcr-0.25'
-                          '_sov-50',
-            'pll_test_recorded': -255.648, **r}
-        r = bench_model('bbc batch-lifted (bs=250)', bbc_cfg, y_bbc,
-                        250, 0.003, 16)
-        extras['bbc_throughput_bs250'] = r
+        cell('bbc_quality_recipe', 'bbc quality recipe (bs=25)', bbc_cfg,
+             y_bbc, 25, 0.003, 8)
+        if 'bbc_quality_recipe' in extras:
+            extras['bbc_quality_recipe'] = {
+                'identifier': 'bbc_K-50_D-20_bs-25_epk-600_lr-0.003_bta-0.05'
+                              '_ema-True_gma-0.9_sd-3-_fm-per_network_dcr-0.25'
+                              '_sov-50',
+                'pll_test_recorded': -255.648, **extras['bbc_quality_recipe']}
+        cell('bbc_throughput_bs250', 'bbc batch-lifted (bs=250)', bbc_cfg,
+             y_bbc, 250, 0.003, 16)
         # single-pass fused Adam (--adam-impl fused): the step-anatomy
         # lever — the optimizer update was the dominant step cost
-        r = bench_model('bbc bs=250 + fused adam', bbc_cfg, y_bbc,
-                        250, 0.003, 16, adam_impl='fused')
-        extras['bbc_bs250_fused_adam'] = r
+        cell('bbc_bs250_fused_adam', 'bbc bs=250 + fused adam', bbc_cfg,
+             y_bbc, 250, 0.003, 16, adam_impl='fused')
         # + bf16 compute (--compute-dtype bf16) + bf16 moments: every
         # network-side HBM stream at half width, optimizer state too
-        r = bench_model('bbc bs=250 + fused_bf16 adam + bf16 compute',
-                        bbc_cfg._replace(compute_dtype='bf16'), y_bbc,
-                        250, 0.003, 16, adam_impl='fused_bf16')
-        extras['bbc_bs250_bf16'] = r
+        cell('bbc_bs250_bf16', 'bbc bs=250 + fused_bf16 adam + bf16 compute',
+             bbc_cfg._replace(compute_dtype='bf16'), y_bbc,
+             250, 0.003, 16, adam_impl='fused_bf16')
+        # bs=1000: amortizes the batch-independent optimizer HBM traffic
+        # (the measured step dominator) over 4x samples — the MFU ceiling
+        cell('bbc_bs1000_bf16', 'bbc bs=1000 + fused_bf16 adam + bf16',
+             bbc_cfg._replace(compute_dtype='bf16'), y_bbc,
+             1000, 0.003, 16, adam_impl='fused_bf16')
         # rank-1 first layer: the out-of-memory fallback (measured slower
         # than masked at every fitting shape; docs/design.md)
-        r = bench_model('bbc bs=250 + rank1 first layer',
-                        bbc_cfg._replace(first_layer='rank1'), y_bbc,
-                        250, 0.003, 16)
-        extras['bbc_bs250_rank1_fallback'] = r
+        cell('bbc_bs250_rank1_fallback', 'bbc bs=250 + rank1 first layer',
+             bbc_cfg._replace(first_layer='rank1'), y_bbc, 250, 0.003, 16)
 
         rng = np.random.default_rng(0)
         y_ad = rng.integers(0, 2, size=(2461, 1556)).astype(np.float32)
         ad_cfg = VqVaeConfig(n_var=1556, units=default_units(1556, 30),
                              dim=30, num_codes=20, quantizer='ema')
-        r = bench_model('ad-scale synthetic (n=1556, bs=250)', ad_cfg, y_ad,
-                        250, 0.001, 16)
-        extras['ad_throughput_bs250'] = r
+        cell('ad_throughput_bs250', 'ad-scale synthetic (n=1556, bs=250)',
+             ad_cfg, y_ad, 250, 0.001, 16)
     except Exception as e:  # noqa: BLE001 — headline metric must still print
         print(f'large-model bench failed: {type(e).__name__}: {e}',
               file=sys.stderr)

@@ -44,7 +44,8 @@ def split_m(ident: str):
     return ident[:mm.start()] + ident[mm.end():], int(mm.group(1))
 
 DEFAULT_JOBLOGS = ['logs/cptp-cpu-r4.jsonl', 'logs/cptp-small-r4.jsonl',
-                   'logs/cptp-r3.jsonl', 'logs/cptp-r4.jsonl']
+                   'logs/cptp-r3.jsonl', 'logs/cptp-r4.jsonl',
+                   'logs/cptp-gap-r5.jsonl', 'logs/cptp-students-r5.jsonl']
 
 
 def tuned_bests(results_md: str) -> dict:
