@@ -286,11 +286,14 @@ def main() -> int:
         cell('bbc_bs250_bf16', 'bbc bs=250 + fused_bf16 adam + bf16 compute',
              bbc_cfg._replace(compute_dtype='bf16'), y_bbc,
              250, 0.003, 16, adam_impl='fused_bf16')
-        # bs=1000: amortizes the batch-independent optimizer HBM traffic
-        # (the measured step dominator) over 4x samples — the MFU ceiling
-        cell('bbc_bs1000_bf16', 'bbc bs=1000 + fused_bf16 adam + bf16',
+        # bs=500: amortizes the batch-independent optimizer HBM traffic
+        # (the measured step dominator) over 2x samples — the MFU ceiling.
+        # bs=1000 CRASHES the worker (round-5: the [n,B,n] masked
+        # activations put the backward peak past the v5e's 16 GB), so this
+        # is the largest batch the masked design fits.
+        cell('bbc_bs500_bf16', 'bbc bs=500 + fused_bf16 adam + bf16',
              bbc_cfg._replace(compute_dtype='bf16'), y_bbc,
-             1000, 0.003, 16, adam_impl='fused_bf16')
+             500, 0.003, 16, adam_impl='fused_bf16')
         # rank-1 first layer: the out-of-memory fallback (measured slower
         # than masked at every fitting shape; docs/design.md)
         cell('bbc_bs250_rank1_fallback', 'bbc bs=250 + rank1 first layer',
