@@ -45,7 +45,8 @@ def split_m(ident: str):
 
 DEFAULT_JOBLOGS = ['logs/cptp-cpu-r4.jsonl', 'logs/cptp-small-r4.jsonl',
                    'logs/cptp-r3.jsonl', 'logs/cptp-r4.jsonl',
-                   'logs/cptp-gap-r5.jsonl', 'logs/cptp-students-r5.jsonl']
+                   'logs/cptp-gap-r5.jsonl', 'logs/cptp-students-r5.jsonl',
+                   'logs/cptp-students-hiM.jsonl', 'logs/cptp-cmll-r5.jsonl']
 
 
 def tuned_bests(results_md: str) -> dict:
@@ -121,7 +122,9 @@ def main() -> int:
         win = ms[win_m]
         tuned = bests.get(name)
         delta = (win['pll_test'] - tuned) if tuned is not None else None
-        paper = win.get('paper_pll')
+        # post-hoc _cpe-M records don't carry paper_pll; take the group's
+        paper = next((ms[m].get('paper_pll') for m in sorted(ms)
+                      if ms[m].get('paper_pll') is not None), None)
         lines.append(
             f"| {name} | `{base}` | {win_m} | {win['pll_test']:.4f} | "
             f"{tuned if tuned is not None else 'n/a'} | "
