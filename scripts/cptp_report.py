@@ -97,7 +97,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument('--joblogs', default=','.join(DEFAULT_JOBLOGS))
     ap.add_argument('--results-md', default='RESULTS.md')
-    ap.add_argument('--out', default='logs/cptp-r4-report.md')
+    ap.add_argument('--out', default='logs/cptp-r5-report.md')
     args = ap.parse_args()
 
     groups = collect(args.joblogs.split(','))
