@@ -37,10 +37,23 @@ import jax.numpy as j; j.ones(2).sum().block_until_ready(); print('up')" \
 
 STAGES=("$@")
 if [ ${#STAGES[@]} -eq 0 ]; then
-  STAGES=(students_hiM wave2 cptp_more students_cmll_m4 bench report)
+  STAGES=(students_hiM wave2 bbc_bf16_quality cptp_more students_cmll_m4 \
+          bbc250 bench report)
 fi
 
+# Hard deadline: the driver re-runs bench.py on the real chip at round end;
+# a stage still holding the axon grant then forces bench onto the CPU
+# fallback (that is exactly how BENCH_r04 was lost). Past DEADLINE_UTC we
+# skip every remaining stage except the cheap bench+report refresh.
+DEADLINE_UTC=${DEADLINE_UTC:-2115}
+
+past_deadline() { [ "$(date -u +%H%M)" -ge "$DEADLINE_UTC" ]; }
+
 for st in "${STAGES[@]}"; do
+  if past_deadline && [ "$st" != bench ] && [ "$st" != report ]; then
+    log "skip $st (past deadline $DEADLINE_UTC)"
+    continue
+  fi
   probe || true
   case $st in
     students_hiM)
@@ -59,6 +72,26 @@ for st in "${STAGES[@]}"; do
       ;;
     cptp_more)
       bash scripts/round5_manual_chain.sh cptp_more || true
+      ;;
+    bbc_bf16_quality)
+      # quality control for the round-5 MFU lever: the flagship bbc recipe
+      # (test -255.648 in f32) rerun with --compute-dtype bf16. bf16 is a
+      # different trajectory by design (cd-bf16 identifier); the question
+      # is whether its selected-on-valid test PLL stays in the -255.x band.
+      log "bbc bf16 quality start"
+      timeout 7200 python run_pipeline.py \
+          --joblog logs/bbc-bf16-quality.jsonl \
+          --result-file logs/bbc-bf16-quality-result.txt \
+          -n bbc -k 50 -d 20 -b 25 -e 600 -r 0.003 -c 0.05 -m -g 0.9 \
+          --fan-mode per_network --dead-code-threshold 0.25 \
+          --select-on-valid 50 -s 3 --compute-dtype bf16 \
+          > logs/bbc-bf16-quality.out 2>&1 || true
+      log "bbc bf16 quality done"
+      ;;
+    bbc250)
+      log "bbc bs250 quality sweep start"
+      bash scripts/bbc_bs250_quality.sh > logs/bbc-bs250-r4.out 2>&1 || true
+      log "bbc bs250 quality sweep done"
       ;;
     students_cmll_m4)
       log "students cmll m4 start"
