@@ -37,8 +37,8 @@ import jax.numpy as j; j.ones(2).sum().block_until_ready(); print('up')" \
 
 STAGES=("$@")
 if [ ${#STAGES[@]} -eq 0 ]; then
-  STAGES=(students_hiM wave2 bbc_bf16_quality cptp_more students_cmll_m4 \
-          bbc250 bench report)
+  STAGES=(students_hiM gap_hiM wave2 bbc_bf16_quality cptp_more \
+          students_cmll_m4 bbc250 bench report)
 fi
 
 # Hard deadline: the driver re-runs bench.py on the real chip at round end;
@@ -72,6 +72,25 @@ for st in "${STAGES[@]}"; do
       ;;
     cptp_more)
       bash scripts/round5_manual_chain.sh cptp_more || true
+      ;;
+    gap_hiM)
+      # pumsb_star and 50-17-8 were still monotone at M=3 in the round-5
+      # gap campaign (-20.28 and -54.71; 50-17-8 started at -162): find
+      # their elbows. Same recipes as scripts/round5_gap_tpu.sh.
+      log "gap hi-M start"
+      timeout 7200 python run_pipeline.py \
+          --joblog logs/cptp-gap-hiM.jsonl \
+          --result-file logs/cptp-gap-hiM-result.txt \
+          -n pumsb_star -k 200 -d 30 -b 64 -e 200 -r 0.001 -c 0.25 -m \
+          -g 0.99 --dead-code-threshold 0.1 --select-on-valid 40 -s 2 \
+          --cpt-parents-eval 4,5,6 > logs/cptp-gap-hiM.out 2>&1 || true
+      timeout 10800 python run_pipeline.py \
+          --joblog logs/cptp-gap-hiM.jsonl \
+          --result-file logs/cptp-gap-hiM-result.txt \
+          -n 50-17-8 -k 500 -d 30 -b 64 -e 300 -r 0.001 -c 0.25 -m \
+          -g 0.99 --dead-code-threshold 0.1 --select-on-valid 50 -s 3 \
+          --cpt-parents-eval 4,5,6 >> logs/cptp-gap-hiM.out 2>&1 || true
+      log "gap hi-M done"
       ;;
     bbc_bf16_quality)
       # quality control for the round-5 MFU lever: the flagship bbc recipe
