@@ -37,7 +37,7 @@ import jax.numpy as j; j.ones(2).sum().block_until_ready(); print('up')" \
 
 STAGES=("$@")
 if [ ${#STAGES[@]} -eq 0 ]; then
-  STAGES=(students_hiM gap_hiM wave2 bbc_bf16_quality cptp_more \
+  STAGES=(students_hiM gap_hiM kdd_fixed wave2 bbc_bf16_quality cptp_more \
           students_cmll_m4 bbc250 bench report)
 fi
 
@@ -72,6 +72,20 @@ for st in "${STAGES[@]}"; do
       ;;
     cptp_more)
       bash scripts/round5_manual_chain.sh cptp_more || true
+      ;;
+    kdd_fixed)
+      # the manual chain's kdd stage forgot --data-dir: the synthetic kdd
+      # CSVs live in /tmp/synth_trw (wiped between rounds), so the loader
+      # fell back to the mount, where kdd's train split is stripped.
+      log "kdd retry (with data-dir) start"
+      timeout 3600 python scripts/synth_kdd.py > /dev/null 2>&1 || true
+      timeout 7200 python run_pipeline.py --joblog logs/kdd-r3.jsonl \
+          --result-file logs/kdd-r3-result.txt --retry-failed -m --isolate \
+          --cell-timeout 3600 --data-dir /tmp/synth_trw \
+          -n kdd -k 4096 -d 10 -b 32 -e 200 -r 0.0002 \
+          -c 0.35,0.4,0.45,0.5 -g 0.99 -s 5 --vq-impl auto \
+          >> logs/kdd-r3.out 2>&1 || true
+      log "kdd retry done"
       ;;
     gap_hiM)
       # pumsb_star and 50-17-8 were still monotone at M=3 in the round-5
