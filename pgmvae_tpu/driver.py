@@ -57,6 +57,16 @@ class ExperimentConfig:
     #                        bit-identical to a from-scratch cptp-M cell
     #                        (tests/test_cpt_parents.py); with selection the
     #                        snapshot is picked on the PRIMARY M's valid PLL
+    cpt_parents_mix: bool = False  # with cpt_parents_eval: also emit ONE
+    #                        mixed stage-2 record where EACH VARIABLE picks
+    #                        its own M — from the candidate set
+    #                        {cpt_parents} + cpt_parents_eval — by its
+    #                        per-variable VALIDATION PLL contribution (PLL
+    #                        is a sum of per-variable terms, so the mixture
+    #                        is a legal PLL; the global winner-M is the
+    #                        special case where every variable agrees).
+    #                        Identifier flag cpm; selection ties break to
+    #                        the smaller M
     first_layer: str = 'masked'  # first-encoder-layer implementation
     #                        ('masked' | 'rank1' | 'auto'; models/vqvae.py)
     packed_seeds: int = 1  # >1: this cell was trained as one lane of an
@@ -93,6 +103,10 @@ class ExperimentConfig:
         if bad:
             raise ValueError(f'cpt_parents_eval values must be in [0, 8], '
                              f'got {bad}')
+        if self.cpt_parents_mix and not self.cpt_parents_eval:
+            raise ValueError('cpt_parents_mix selects per-variable among '
+                             'the cpt_parents_eval candidates; pass '
+                             '--cpt-parents-eval too')
 
     @property
     def identifier(self) -> str:
@@ -112,7 +126,8 @@ class ExperimentConfig:
                               packed_seeds=self.packed_seeds,
                               adam_impl=self.adam_impl,
                               compute_dtype=self.compute_dtype,
-                              cpt_parents_eval=self.cpt_parents_eval)
+                              cpt_parents_eval=self.cpt_parents_eval,
+                              cpt_parents_mix=self.cpt_parents_mix)
 
 
 def _check_naive_dim(quantizer: str, dim: int) -> None:
@@ -135,13 +150,27 @@ def _posthoc_cpt_records(exp, cfg, mesh_ctx, params, codebook, y_train,
     already-trained `params` (see ExperimentConfig.cpt_parents_eval). Each
     record's cpe-M identifier regenerates its number by rerunning the cell
     with --cpt-parents-eval M; pass `stage2_by_m` to share the (per-dataset,
-    per-M) Stage2 instances across packed seeds."""
+    per-M) Stage2 instances across packed seeds.
+
+    With exp.cpt_parents_mix, ONE extra record (identifier = the cell's
+    full cpe+cpm identifier) mixes the candidates per variable: each
+    variable keeps the M whose VALIDATION PLL contribution is highest
+    (Stage2.pll_detail; ties to the smaller M), and the mixed train/test
+    PLLs are composed from the same selection — selection touches the
+    validation split only."""
     import time as _time
+
+    import numpy as np
 
     from pgmvae_tpu.stage2 import Stage2, select_parents
 
-    records = []
-    for m in dict.fromkeys(exp.cpt_parents_eval):
+    splits = (('train', y_train), ('valid', y_valid), ('test', y_test))
+    eval_ms = tuple(dict.fromkeys(exp.cpt_parents_eval))
+    loop_ms = eval_ms
+    if exp.cpt_parents_mix and exp.cpt_parents not in eval_ms:
+        loop_ms = eval_ms + (exp.cpt_parents,)   # primary M is a candidate
+    records, per_var = [], {}
+    for m in loop_ms:
         te = _time.time()
         if stage2_by_m is not None and m in stage2_by_m:
             s2m = stage2_by_m[m]
@@ -151,17 +180,42 @@ def _posthoc_cpt_records(exp, cfg, mesh_ctx, params, codebook, y_train,
             if stage2_by_m is not None:
                 stage2_by_m[m] = s2m
         dist_m = s2m.cpt(params, codebook, y_train)
-        pll_m = {split: s2m.pseudo_log_likelihood(params, codebook, y, dist_m)
-                 for split, y in (('train', y_train), ('valid', y_valid),
-                                  ('test', y_test))}
+        pll_m = {}
+        for split, y in splits:
+            pll_m[split], pv = s2m.pll_detail(params, codebook, y, dist_m)
+            per_var.setdefault(m, {})[split] = pv
+        if m not in eval_ms:
+            continue       # primary M: its record is the cell's own
         records.append({
             'identifier': dataclasses.replace(
-                exp, cpt_parents_eval=(m,)).identifier,
+                exp, cpt_parents_eval=(m,),
+                cpt_parents_mix=False).identifier,
             'pll_train': pll_m['train'], 'pll_valid': pll_m['valid'],
             'pll_test': pll_m['test'], 'cmll_test': 1,
             'eval_wall': round(_time.time() - te, 3),
             'posthoc_of': primary_id,
             'platform': platform,
+        })
+    if exp.cpt_parents_mix:
+        cands = sorted(per_var)                       # ascending: argmax's
+        idx = np.arange(cfg.active_vars)              # first-hit tie rule
+        stacked = {split: np.stack([per_var[m][split] for m in cands])
+                   for split, _ in splits}            # [C, active_vars]
+        sel = np.argmax(stacked['valid'], axis=0)
+        mixed = {split: float(stacked[split][sel, idx].sum())
+                 for split, _ in splits}
+        records.append({
+            'identifier': exp.identifier,     # full cpe list + cpm flag
+            'pll_train': mixed['train'], 'pll_valid': mixed['valid'],
+            'pll_test': mixed['test'], 'cmll_test': 1,
+            'eval_wall': 0.0,                 # composed from the cpe passes
+            'posthoc_of': primary_id,
+            'platform': platform,
+            'mix_candidates': cands,
+            'mix_m_histogram': {str(cands[i]): int(c) for i, c in
+                                enumerate(np.bincount(
+                                    sel, minlength=len(cands)))
+                                if c},
         })
     return records
 
@@ -292,7 +346,8 @@ def run_packed_experiments(exps) -> list:
         # over the shared train wall); the S-seed aggregate gets its own key
         # so joblog consumers can't confuse the two
         per_cell = exp.epoch * len(y_train) / max(train_wall, 1e-9)
-        primary_id = _dc.replace(exp, cpt_parents_eval=()).identifier
+        primary_id = _dc.replace(exp, cpt_parents_eval=(),
+                                 cpt_parents_mix=False).identifier
         res = {
             'identifier': primary_id,
             'pll_train': pll['train'], 'pll_valid': pll['valid'],
@@ -484,7 +539,8 @@ def run_experiment(exp: ExperimentConfig) -> dict:
     # the primary record's identity is independent of the post-hoc eval
     # list (training and the primary stage-2 never see it) — strip cpe so
     # plain reruns of the same recipe dedupe against it
-    primary_id = dataclasses.replace(exp, cpt_parents_eval=()).identifier
+    primary_id = dataclasses.replace(exp, cpt_parents_eval=(),
+                                     cpt_parents_mix=False).identifier
     result = {
         'identifier': primary_id,
         'pll_train': pll['train'], 'pll_valid': pll['valid'],

@@ -226,7 +226,22 @@ class Stage2:
         """Average per-sample PLL of a split under `dist` (reference
         core/model.py:91-96): counts come from this split, `dist` from
         train."""
+        return self.pll_detail(params, codebook, y_host, dist)[0]
+
+    def pll_detail(self, params, codebook, y_host: np.ndarray,
+                   dist: np.ndarray) -> Tuple[float, np.ndarray]:
+        """(split PLL, per-variable contributions [active_vars] float64).
+
+        PLL = sum_v sum_{k,j} n1*log(dist+eps) + n0*log(1-dist+eps) / N is a
+        sum of independent per-variable terms (each variable's conditional
+        table is separate — reference core/model.py:93-96 sums a [n_var, K]
+        matrix), so the per-variable vector is exact, not an approximation;
+        the scalar is its sum. Used by the mixed parent-count selection
+        (driver `cpt_parents_mix`), which picks each variable's M on its
+        validation contribution."""
         n1, n0 = self.counts(params, codebook, y_host)
         lp1 = np.log(dist + LOG_EPS)
         lp0 = np.log(1.0 - dist + LOG_EPS)
-        return float(np.sum(n1 * lp1 + n0 * lp0) / y_host.shape[0])
+        terms = n1 * lp1 + n0 * lp0
+        per_var = terms.reshape(terms.shape[0], -1).sum(1) / y_host.shape[0]
+        return float(per_var.sum()), per_var

@@ -24,7 +24,7 @@ import time
 # exactly the failure the round-trip check exists to prevent (round-4
 # advisor finding). Such notes are rejected at identifier-build time.
 _AMBIGUOUS_NOTE = re.compile(
-    r'_(?:qz|un|fm|dcr|prc|act|l2|sov|cptp|fl|pk|ad|cd|cpe)-|_nzd$')
+    r'_(?:qz|un|fm|dcr|prc|act|l2|sov|cptp|fl|pk|ad|cd|cpe)-|_(?:nzd|cpm)$')
 
 
 def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
@@ -35,7 +35,7 @@ def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
                    select_on_valid=0, cpt_parents=0,
                    first_layer='masked', packed_seeds=1,
                    adam_impl='optax', compute_dtype='f32',
-                   cpt_parents_eval=()) -> str:
+                   cpt_parents_eval=(), cpt_parents_mix=False) -> str:
     """Hyperparameter-encoding run id, field-for-field the reference's
     format (reference run.py:38).
 
@@ -92,6 +92,12 @@ def run_identifier(name, k, d, bs, epochs, lr, beta, ema, gamma, seed,
         # .cpt_parents_eval): stage-2-only — training is unchanged, each
         # listed M yields its own cpe-M record from the same trained state
         ext.append('cpe-' + '.'.join(str(m) for m in cpt_parents_eval))
+    if cpt_parents_mix:
+        # mixed parent-count record: each variable's M chosen on its valid
+        # PLL contribution from the candidate set {cptp-M} + the cpe list
+        # (driver._posthoc_cpt_records) — fully determined by those fields,
+        # so cpm is a bare flag
+        ext.append('cpm')
     return base + ('_' + '_'.join(ext) if ext else '')
 
 
@@ -123,6 +129,7 @@ def parse_identifier(identifier: str):
     # peel extensions right-to-left in reverse append order (run_identifier)
     rest = g['rest']
     peels = [
+        ('cpt_parents_mix', r'_(cpm)$', lambda _: True),
         ('cpt_parents_eval', r'_cpe-([0-9.]+)$',
          lambda v: tuple(int(x) for x in v.split('.'))),
         ('compute_dtype', r'_cd-(bf16)$', str),

@@ -141,6 +141,14 @@ def build_parser() -> argparse.ArgumentParser:
                         'appends its own cpe-M result line. With '
                         '--select-on-valid the snapshot is chosen on the '
                         'primary --cpt-parents valid PLL')
+    p.add_argument('--cpt-parents-mix', action='store_true',
+                   help='with --cpt-parents-eval: also emit ONE mixed '
+                        'stage-2 record (identifier flag cpm) where each '
+                        'variable picks its own M — from {--cpt-parents} + '
+                        'the eval list — by its per-variable VALIDATION '
+                        'PLL contribution (PLL sums over variables, so the '
+                        'mixture is a legal PLL; selection never touches '
+                        'the test split)')
     p.add_argument('--cmll', action='store_true',
                    help='also evaluate CMLL via Gibbs sampling '
                         '(num_smp=3000, burn_in=150, p1=n_var//10, as in '
@@ -205,6 +213,7 @@ def main(argv=None) -> int:
         cpt_parents_eval=(tuple(int(m) for m in
                                 args.cpt_parents_eval.split(','))
                           if args.cpt_parents_eval else ()),
+        cpt_parents_mix=args.cpt_parents_mix,
         first_layer=args.first_layer, adam_impl=args.adam_impl,
         compute_dtype=args.compute_dtype,
         checkpoint=args.checkpoint, resume=args.resume,

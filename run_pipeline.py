@@ -123,6 +123,11 @@ def build_parser() -> argparse.ArgumentParser:
                         'gridded; each M appends its own cpe-M joblog/'
                         'result record. With --select-on-valid the snapshot '
                         'is chosen on the primary --cpt-parents valid PLL')
+    p.add_argument('--cpt-parents-mix', action='store_true',
+                   help='with --cpt-parents-eval: also emit ONE mixed '
+                        'record per cell where each variable picks its own '
+                        'M by validation PLL contribution (see run.py '
+                        '--cpt-parents-mix; identifier flag cpm)')
     p.add_argument('--precision', choices=['default', 'float32', 'highest'],
                    default='default')
     p.add_argument('--first-layer', choices=['masked', 'rank1', 'auto'],
@@ -205,10 +210,11 @@ def classify_cell(cell, group_width: int, status: dict,
     --cpt-parents-eval is only done once every cpe-M record is ok too, and
     with `want_cmll` only once its record carries a real CMLL (cmll_test
     != 1, the CMLL-off sentinel of reference run.py:77)."""
-    prev, cpe_done = None, True
+    prev, cpe_done, mix_done = None, True, True
     for s in range(group_width, 0, -1):
         c_s = dataclasses.replace(cell, packed_seeds=s,
-                                  cpt_parents_eval=())
+                                  cpt_parents_eval=(),
+                                  cpt_parents_mix=False)
         rec = status.get(c_s.identifier)
         if rec is None:
             continue
@@ -219,12 +225,17 @@ def classify_cell(cell, group_width: int, status: dict,
                     c_s, cpt_parents_eval=(m,)).identifier,
                     {}).get('ok', False)
                 for m in cell.cpt_parents_eval)
+            # a finished sweep rerun with --cpt-parents-mix added must
+            # re-evaluate, not dedupe (same shape as the --cmll rule)
+            mix_done = not cell.cpt_parents_mix or status.get(
+                dataclasses.replace(cell, packed_seeds=s).identifier,
+                {}).get('ok', False)
         if rec.get('ok'):
             break
     if prev is None:
         return 'todo'
     cmll_done = not want_cmll or prev.get('cmll_test', 1) != 1
-    if prev.get('ok') and cpe_done and cmll_done:
+    if prev.get('ok') and cpe_done and cmll_done and mix_done:
         return 'done'
     if not prev.get('ok'):
         return 'failed'
@@ -267,6 +278,7 @@ def main(argv=None) -> int:
                          select_on_valid=args.select_on_valid,
                          cpt_parents=cpp,
                          cpt_parents_eval=tuple(args.cpt_parents_eval),
+                         cpt_parents_mix=args.cpt_parents_mix,
                          first_layer=args.first_layer,
                          adam_impl=args.adam_impl,
                          compute_dtype=args.compute_dtype,

@@ -35,9 +35,23 @@ _SUFFIX = re.compile(
     r'_(?:cptp|cpe)-(\d+)'
     r'(?=(?:_(?:fl-(?:rank1|auto)|pk-\d+|ad-\w+|cd-bf16))*$)')
 
+# mixed per-variable parent-count records (driver cpt_parents_mix): the
+# full cpe candidate list + the bare cpm flag, always the identifier tail
+_MIX = re.compile(r'_cpe-[0-9.]+_cpm$')
+
+
+def _mkey(m):
+    """Sort key over sweep Ms: ints ascending, then the 'mix' record."""
+    return (1, 0) if m == 'mix' else (0, m)
+
 
 def split_m(ident: str):
-    """(base identifier with the cptp/cpe field removed, M)."""
+    """(base identifier with the cptp/cpe/cpm fields removed, M).
+    M is an int for global-M records, the string 'mix' for per-variable
+    mixed records."""
+    mx = _MIX.search(ident)
+    if mx:
+        return ident[:mx.start()], 'mix'
     mm = _SUFFIX.search(ident)
     if not mm:
         return ident, 0
@@ -124,7 +138,7 @@ def main() -> int:
         tuned = bests.get(name)
         delta = (win['pll_test'] - tuned) if tuned is not None else None
         # post-hoc _cpe-M records don't carry paper_pll; take the group's
-        paper = next((ms[m].get('paper_pll') for m in sorted(ms)
+        paper = next((ms[m].get('paper_pll') for m in sorted(ms, key=_mkey)
                       if ms[m].get('paper_pll') is not None), None)
         lines.append(
             f"| {name} | `{base}` | {win_m} | {win['pll_test']:.4f} | "
@@ -134,7 +148,7 @@ def main() -> int:
         summary.append({'dataset': name, 'base': base, 'winner_m': win_m,
                         'pll_test': win['pll_test'],
                         'pll_valid': win['pll_valid'],
-                        'm_tested': sorted(ms),
+                        'm_tested': sorted(ms, key=_mkey),
                         'tuned_best': tuned, 'delta_vs_tuned': delta,
                         'paper': paper,
                         'platform': win.get('platform', 'tpu')})
@@ -144,7 +158,7 @@ def main() -> int:
         if len(ms) < 2:
             continue
         lines.append(f'- `{base}`: ' + ', '.join(
-            f"M={m}: {ms[m]['pll_test']:.4f}" for m in sorted(ms)))
+            f"M={m}: {ms[m]['pll_test']:.4f}" for m in sorted(ms, key=_mkey)))
     out = '\n'.join(lines) + '\n'
     with open(args.out, 'w') as f:
         f.write(out)

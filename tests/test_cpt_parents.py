@@ -169,3 +169,79 @@ def test_driver_cpt_parents_end_to_end(tmp_path):
     y_test = load_split('nltcs', 'test')
     np.testing.assert_allclose(model.score(y_test).mean(),
                                rich['pll_test'], atol=5e-3)
+
+
+def test_pll_detail_sums_to_scalar():
+    """Stage2.pll_detail: the per-variable vector is an exact decomposition
+    of the split PLL (it is what cpt_parents_mix selects on)."""
+    y = _chain_data(n=5, n_samples=400, seed=7)
+    cfg = VqVaeConfig(n_var=5, units=(4, 3), dim=2, num_codes=4,
+                      quantizer='ema')
+    tr = Trainer(cfg, 0.01, 64, len(y))
+    st = tr.init_state(jax.random.PRNGKey(0))
+    st, _ = tr.fit(st, y, epochs=1, key=jax.random.PRNGKey(1))
+    cb = tr.codebook(st)
+    for parents in (None, select_parents(y, 2)):
+        s2 = Stage2(cfg, chunk=64, parents=parents)
+        dist = s2.cpt(st.params, cb, y)
+        scalar, per_var = s2.pll_detail(st.params, cb, y, dist)
+        assert per_var.shape == (5,)
+        np.testing.assert_allclose(per_var.sum(), scalar, rtol=1e-12)
+        assert scalar == s2.pseudo_log_likelihood(st.params, cb, y, dist)
+
+
+def test_cpt_parents_mix_record():
+    """--cpt-parents-mix: the mixed record's valid PLL dominates every
+    global candidate (per-variable argmax on valid), its selection
+    histogram covers all variables, and the cpm identifier round-trips."""
+    base = dict(name='nltcs', embedding=8, dim=4, batch=512, epoch=1,
+                rate=0.01, ema=True, seed=0, units=(8, 6))
+    res = run_experiment(ExperimentConfig(**base, cpt_parents_eval=(1, 2),
+                                          cpt_parents_mix=True))
+    mixes = [r for r in res['posthoc'] if r['identifier'].endswith('_cpm')]
+    assert len(mixes) == 1
+    mix = mixes[0]
+    assert mix['identifier'].endswith('_cpe-1.2_cpm')
+    # candidate set = {primary M=0} + the eval list
+    assert mix['mix_candidates'] == [0, 1, 2]
+    assert sum(mix['mix_m_histogram'].values()) == 16   # nltcs n_var
+    # per-variable argmax on valid dominates every global candidate
+    cand_valid = [res['pll_valid']] + [
+        r['pll_valid'] for r in res['posthoc']
+        if not r['identifier'].endswith('_cpm')]
+    assert mix['pll_valid'] >= max(cand_valid) - 1e-12
+    assert np.isfinite(mix['pll_test']) and np.isfinite(mix['pll_train'])
+    # the per-M cpe records are unchanged by the mix flag (no cpm suffix)
+    assert {r['identifier'].rsplit('cpe-', 1)[1]
+            for r in res['posthoc'] if not r['identifier'].endswith('_cpm')
+            } == {'1', '2'}
+
+    from pgmvae_tpu.utils.logging import parse_identifier
+    kw = parse_identifier(mix['identifier'])
+    assert kw['cpt_parents_mix'] is True
+    assert kw['cpt_parents_eval'] == (1, 2)
+    assert ExperimentConfig(**kw).identifier == mix['identifier']
+
+
+def test_cpt_parents_mix_requires_eval():
+    import pytest
+    with pytest.raises(ValueError, match='cpt_parents_mix'):
+        ExperimentConfig(name='nltcs', embedding=8, dim=4,
+                         cpt_parents_mix=True)
+
+
+def test_cptp_report_groups_mix_records():
+    """scripts/cptp_report.py: a cpm record lands in the same sweep group
+    as its cpe siblings, labeled M='mix'."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        'cptp_report', os.path.join(os.path.dirname(__file__), '..',
+                                    'scripts', 'cptp_report.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    base = 'nltcs_K-8_D-4_bs-512_epk-1_lr-0.01_bta-0.25_ema-True_gma-0.99_sd-0-'
+    assert mod.split_m(base + '_cpe-3') == (base, 3)
+    assert mod.split_m(base + '_cpe-1.2.3_cpm') == (base, 'mix')
+    assert mod.split_m(base + '_cptp-2') == (base, 2)
+    assert sorted([2, 'mix', 0, 1], key=mod._mkey) == [0, 1, 2, 'mix']
