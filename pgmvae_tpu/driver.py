@@ -93,15 +93,17 @@ class ExperimentConfig:
     def __post_init__(self):
         # Fail BEFORE training, not after: Stage2 only sees M when stage 2
         # starts, so an out-of-range --cpt-parents-eval used to waste a full
-        # training run (M>8) or silently evaluate M=0 under a mislabeled,
-        # non-round-trippable cpe--1 identifier (M<0). Bounds match
-        # Stage2.__init__ (2^M joint-state columns; M<=8 keeps them sane).
-        if not 0 <= self.cpt_parents <= 8:
-            raise ValueError(f'cpt_parents must be in [0, 8], '
+        # training run (M too big) or silently evaluate M=0 under a
+        # mislabeled, non-round-trippable cpe--1 identifier (M<0). Bounds
+        # match Stage2.__init__ (2^M joint-state columns; M<=12 with the
+        # byte guard there — past SCATTER_COLS the scatter path counts
+        # without a one-hot, so wide tables are feasible).
+        if not 0 <= self.cpt_parents <= 12:
+            raise ValueError(f'cpt_parents must be in [0, 12], '
                              f'got {self.cpt_parents}')
-        bad = [m for m in self.cpt_parents_eval if not 0 <= m <= 8]
+        bad = [m for m in self.cpt_parents_eval if not 0 <= m <= 12]
         if bad:
-            raise ValueError(f'cpt_parents_eval values must be in [0, 8], '
+            raise ValueError(f'cpt_parents_eval values must be in [0, 12], '
                              f'got {bad}')
         if self.cpt_parents_mix and not self.cpt_parents_eval:
             raise ValueError('cpt_parents_mix selects per-variable among '

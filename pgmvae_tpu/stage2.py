@@ -53,6 +53,19 @@ LOG_EPS = 1e-5      # reference core/model.py:93-94
 NAIVE_STAGE2_MAX_DIM = 20   # naive quantizer: 2^dim count columns; past
 #                             ~1M columns the [n_var, 2^dim] tables stop
 #                             being a sane tabulation (and would OOM)
+SCATTER_COLS = 8192     # joint table width K * 2^m past which counting
+#                         switches from the one-hot einsum to scatter-add:
+#                         the einsum must materialize a [n_var, B, K*2^m]
+#                         one-hot (at students' K=500, M=10 that is 24 GB
+#                         even at chunk=32), while the scatter touches only
+#                         the [n_var, B] code indices. Both accumulate
+#                         integer-valued f32 counts (< 2^24), so the two
+#                         paths are bit-identical regardless of order
+#                         (tests/test_cpt_parents.py pins this).
+MAX_COUNT_BYTES = 6 << 30   # refuse joint tables whose TWO [n_var, K*2^m]
+#                             f32 count buffers cannot fit next to the
+#                             model on a 16 GB chip — a loud error instead
+#                             of an OOM attempt (mirrors the naive guard)
 
 
 def mutual_information_matrix(y: np.ndarray) -> np.ndarray:
@@ -111,7 +124,8 @@ class Stage2:
 
     def __init__(self, cfg: vqvae.VqVaeConfig, chunk: Optional[int] = None,
                  mesh_ctx: Optional[MeshContext] = None,
-                 parents: Optional[np.ndarray] = None):
+                 parents: Optional[np.ndarray] = None,
+                 scatter: Optional[bool] = None):
         self.cfg = cfg
         self.k = cfg.effective_codes
         # the naive quantizer's implicit codebook is the D-cube's corners
@@ -133,20 +147,34 @@ class Stage2:
         if parents is not None and parents.size:
             parents = np.asarray(parents, np.int32)
             m = parents.shape[1]
-            if not 0 < m <= 8:     # 2^m multiplies every count buffer; and
+            if not 0 < m <= 12:    # 2^m multiplies every count buffer; and
                 #                    m >= 31 would overflow the int32 powers
                 raise ValueError(f'cpt parents per variable must be in '
-                                 f'[1, 8], got {m}')
+                                 f'[1, 12], got {m}')
             if parents.shape[0] < cfg.n_var:     # padded variable axis:
                 parents = np.pad(                # inert rows point at var 0
                     parents,
                     ((0, cfg.n_var - parents.shape[0]), (0, 0)))
             self.parents = jnp.asarray(parents)
             self.n_states = 1 << m
+        cols = self.k * self.n_states
+        if 2 * cfg.n_var * cols * 4 > MAX_COUNT_BYTES:
+            raise ValueError(
+                f'joint-code CPT needs two [n_var={cfg.n_var}, '
+                f'K*2^m={cols}] f32 count buffers '
+                f'({2 * cfg.n_var * cols * 4 / 2**30:.1f} GiB) — past the '
+                f'{MAX_COUNT_BYTES / 2**30:.0f} GiB single-chip budget; '
+                f'use fewer parents or a smaller codebook')
+        # past SCATTER_COLS of joint width the one-hot [n, B, K*2^m] einsum
+        # is replaced by a scatter-add over the [n, B] code indices — same
+        # counts bit-for-bit, no one-hot; the chunk budget then only needs
+        # to cover the encoder's [n, B, K] distance tensor
+        self.scatter = (cols > SCATTER_COLS) if scatter is None else scatter
         # chunk budget must see the JOINT table width K * 2^m — the one-hot
-        # and count buffers scale with it (round-3 advisor finding)
-        self.chunk = int(chunk
-                         or auto_chunk(cfg.n_var, self.k * self.n_states))
+        # and count buffers scale with it (round-3 advisor finding) —
+        # unless the scatter path never materializes the one-hot
+        self.chunk = int(chunk or auto_chunk(
+            cfg.n_var, self.k if self.scatter else cols))
         # the count accumulators are donated back into the next chunk call
         self._count_chunk = jax.jit(self._chunk_impl, donate_argnums=(2, 3))
 
@@ -165,13 +193,25 @@ class Stage2:
                 pw = 1 << jnp.arange(self.parents.shape[1], dtype=jnp.int32)
                 j = jnp.sum(vals.astype(jnp.int32) * pw, axis=-1).T  # [n,B]
                 codes = codes * self.n_states + j
-            onehot = jax.nn.one_hot(codes, k * self.n_states,
-                                    dtype=yb.dtype)    # [n,B,K*J]
-            onehot = onehot * wb[None, :, None]
-            n1 = n1 + jnp.einsum('nbk,bn->nk', onehot, yb,
-                                 preferred_element_type=jnp.float32)
-            n0 = n0 + jnp.einsum('nbk,bn->nk', onehot, 1.0 - yb,
-                                 preferred_element_type=jnp.float32)
+            if self.scatter:
+                # wide joint tables: scatter-add the per-sample weights at
+                # [row v, col code] instead of materializing the one-hot.
+                # Counts are integers < 2^24, so f32 scatter-add equals the
+                # einsum bit-for-bit despite the different reduction order.
+                rows = jnp.broadcast_to(
+                    jnp.arange(cfg.n_var, dtype=jnp.int32)[:, None],
+                    codes.shape)                       # [n,B]
+                w1 = yb.T * wb[None, :]                # [n,B]
+                n1 = n1.at[rows, codes].add(w1)
+                n0 = n0.at[rows, codes].add((1.0 - yb.T) * wb[None, :])
+            else:
+                onehot = jax.nn.one_hot(codes, k * self.n_states,
+                                        dtype=yb.dtype)    # [n,B,K*J]
+                onehot = onehot * wb[None, :, None]
+                n1 = n1 + jnp.einsum('nbk,bn->nk', onehot, yb,
+                                     preferred_element_type=jnp.float32)
+                n0 = n0 + jnp.einsum('nbk,bn->nk', onehot, 1.0 - yb,
+                                     preferred_element_type=jnp.float32)
         return n1, n0
 
     def counts(self, params, codebook, y_host: np.ndarray

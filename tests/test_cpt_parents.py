@@ -245,3 +245,55 @@ def test_cptp_report_groups_mix_records():
     assert mod.split_m(base + '_cpe-1.2.3_cpm') == (base, 'mix')
     assert mod.split_m(base + '_cptp-2') == (base, 2)
     assert sorted([2, 'mix', 0, 1], key=mod._mkey) == [0, 1, 2, 'mix']
+
+
+# ------------------------------------------------- wide-table scatter path
+
+def test_scatter_counts_bit_equal_einsum():
+    """Counting paths: the scatter-add used past SCATTER_COLS of joint
+    width must reproduce the one-hot einsum bit-for-bit (counts are
+    integers < 2^24, exact in f32 under any accumulation order)."""
+    y = _chain_data(n=5, n_samples=333, seed=4)   # ragged vs chunk=64
+    cfg = VqVaeConfig(n_var=5, units=(4, 3), dim=2, num_codes=4,
+                      quantizer='ema')
+    tr = Trainer(cfg, 0.01, 64, len(y))
+    st = tr.init_state(jax.random.PRNGKey(0))
+    st, _ = tr.fit(st, y, epochs=1, key=jax.random.PRNGKey(1))
+    cb = tr.codebook(st)
+    par = select_parents(y, 3)
+    e1, e0 = Stage2(cfg, chunk=64, parents=par,
+                    scatter=False).counts(st.params, cb, y)
+    s1, s0 = Stage2(cfg, chunk=64, parents=par,
+                    scatter=True).counts(st.params, cb, y)
+    np.testing.assert_array_equal(e1, s1)
+    np.testing.assert_array_equal(e0, s0)
+    # and with no parents at all (plain [n, K] tables)
+    e1, e0 = Stage2(cfg, chunk=64, scatter=False).counts(st.params, cb, y)
+    s1, s0 = Stage2(cfg, chunk=64, scatter=True).counts(st.params, cb, y)
+    np.testing.assert_array_equal(e1, s1)
+    np.testing.assert_array_equal(e0, s0)
+
+
+def test_scatter_auto_selected_past_threshold():
+    from pgmvae_tpu.stage2 import SCATTER_COLS
+    y = _chain_data(n=5, n_samples=64, seed=5)
+    cfg = VqVaeConfig(n_var=5, units=(4, 3), dim=2, num_codes=1024,
+                      quantizer='ema')
+    par = select_parents(y, 4)              # 1024 * 16 columns > 8192
+    assert Stage2(cfg, parents=par).scatter is True
+    assert Stage2(cfg).scatter is False     # 1024 <= SCATTER_COLS
+    assert SCATTER_COLS == 8192
+
+
+def test_joint_table_byte_guard():
+    """A joint table whose two f32 count buffers cannot fit on-chip must
+    refuse loudly at Stage2 construction, before any training."""
+    import pytest
+    y = _chain_data(n=6, n_samples=64, seed=6)
+    cfg = VqVaeConfig(n_var=1024, units=(4, 3), dim=2, num_codes=65536,
+                      quantizer='ema')
+    par = np.zeros((1024, 12), np.int32)    # 65536 * 4096 cols -> 2 TiB
+    with pytest.raises(ValueError, match='GiB'):
+        Stage2(cfg, parents=par)
+    with pytest.raises(ValueError, match=r'\[1, 12\]'):
+        Stage2(cfg, parents=np.zeros((1024, 13), np.int32))

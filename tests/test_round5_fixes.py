@@ -129,14 +129,14 @@ def test_ambiguous_note_roundtrip_guard_blocks_lossy_parse():
 
 def test_cpt_parents_validated_before_training():
     from pgmvae_tpu.driver import ExperimentConfig
-    with pytest.raises(ValueError, match=r'\[0, 8\]'):
-        ExperimentConfig(name='nltcs', embedding=8, dim=4, cpt_parents=9)
-    with pytest.raises(ValueError, match=r'\[0, 8\]'):
+    with pytest.raises(ValueError, match=r'\[0, 12\]'):
+        ExperimentConfig(name='nltcs', embedding=8, dim=4, cpt_parents=13)
+    with pytest.raises(ValueError, match=r'\[0, 12\]'):
         ExperimentConfig(name='nltcs', embedding=8, dim=4,
                          cpt_parents_eval=(1, -1))
     # valid bounds construct fine
-    ExperimentConfig(name='nltcs', embedding=8, dim=4, cpt_parents=8,
-                     cpt_parents_eval=(0, 1, 8))
+    ExperimentConfig(name='nltcs', embedding=8, dim=4, cpt_parents=12,
+                     cpt_parents_eval=(0, 1, 12))
 
 
 # ------------------------------------------------------ naive stage-2 guard
