@@ -298,6 +298,13 @@ def main() -> int:
         # than masked at every fitting shape; docs/design.md)
         cell('bbc_bs250_rank1_fallback', 'bbc bs=250 + rank1 first layer',
              bbc_cfg._replace(first_layer='rank1'), y_bbc, 250, 0.003, 16)
+        # rank1 at bs=1000 is the measured MFU record (13.1%, round-5
+        # wave-2 anatomy): rank1 never materializes [n,B,n], so it runs a
+        # batch the masked design cannot fit, and the batch amortizes the
+        # batch-independent optimizer traffic past masked-bs500's 11.8%
+        cell('bbc_bs1000_rank1_bf16', 'bbc bs=1000 + rank1 + bf16',
+             bbc_cfg._replace(first_layer='rank1', compute_dtype='bf16'),
+             y_bbc, 1000, 0.003, 16, adam_impl='fused_bf16')
 
         rng = np.random.default_rng(0)
         y_ad = rng.integers(0, 2, size=(2461, 1556)).astype(np.float32)
