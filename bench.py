@@ -27,9 +27,11 @@ import subprocess
 import sys
 import time
 
-# scripts/bench_reference_tf.py -n nltcs --epochs 5 on this host
-# (TF 2.21 CPU, oneDNN): 34585.1 samples/sec, 3.684 ms/step at bs=128.
-TF2_MEASURED_FALLBACK = 34585.1
+# scripts/bench_reference_tf.py -n nltcs on this host (TF 2.21 CPU,
+# oneDNN): best observed 37019.2 samples/sec (idle host, round-5 bench
+# log); an earlier 5-epoch run recorded 34585.1. The reference keeps its
+# best number as the vs_baseline denominator (see measure_tf2_baseline).
+TF2_MEASURED_FALLBACK = 37019.2
 
 # TPU v5e (v5 lite) peak matmul throughput, bf16 — f32 model arithmetic
 # runs on the MXU as bf16 passes under JAX's 'default' matmul precision,
@@ -95,7 +97,14 @@ def bench_model(label, cfg, data_host, batch, lr, epochs,
 
 
 def measure_tf2_baseline() -> tuple:
-    """Measured TF2-reference samples/sec (live if possible)."""
+    """TF2-reference samples/sec: max(live measurement, recorded best).
+
+    The live run shares the host CPU with whatever else is running; a
+    loaded box starves TF2 and flatters vs_baseline (observed 11.3k
+    samples/s loaded vs 37.0k idle — a 3.3x swing in the ratio that has
+    nothing to do with this framework). The denominator is therefore the
+    reference's BEST known number: the live measurement when it beats the
+    recorded idle-host figure, the recorded figure otherwise."""
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           'scripts', 'bench_reference_tf.py')
     try:
@@ -104,7 +113,11 @@ def measure_tf2_baseline() -> tuple:
             capture_output=True, text=True, timeout=420)
         line = out.stdout.strip().splitlines()[-1]
         sps = float(json.loads(line)['samples_per_sec'])
-        return sps, 'measured live (TF2 reference on host CPU)'
+        if sps >= TF2_MEASURED_FALLBACK:
+            return sps, 'measured live (TF2 reference on host CPU)'
+        return TF2_MEASURED_FALLBACK, (
+            f'recorded idle-host measurement (live run got {sps:.0f} on a '
+            f'loaded host; the reference keeps its best number)')
     except Exception as e:  # noqa: BLE001 — fall back to the recorded number
         return TF2_MEASURED_FALLBACK, f'recorded measurement (live run failed: {type(e).__name__})'
 
