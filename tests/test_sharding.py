@@ -74,6 +74,28 @@ def test_stage2_counts_parity_on_mesh():
     np.testing.assert_array_equal(n0a, n0b)
 
 
+def test_stage2_scatter_counts_parity_on_mesh():
+    """The wide-table scatter-add path (stage2.py:SCATTER_COLS) under
+    GSPMD: batch-sharded scatter updates must reduce to the same exact
+    integer counts as single-device, with and without joint-CPT parents."""
+    from pgmvae_tpu.stage2 import select_parents
+    y = _data(300, seed=3)
+    tr = Trainer(CFG, 0.01, 64, len(y))
+    st = tr.init_state(jax.random.PRNGKey(1))
+    par = select_parents(y, 2)
+    ctx = MeshContext(make_mesh(4, 2))
+    trm = Trainer(CFG, 0.01, 64, len(y), mesh_ctx=ctx)
+    stm = trm.init_state(jax.random.PRNGKey(1))
+    for parents in (None, par):
+        n1a, n0a = Stage2(CFG, chunk=64, parents=parents,
+                          scatter=True).counts(st.params, tr.codebook(st), y)
+        n1b, n0b = Stage2(CFG, chunk=64, parents=parents, scatter=True,
+                          mesh_ctx=ctx).counts(stm.params,
+                                               trm.codebook(stm), y)
+        np.testing.assert_array_equal(n1a, n1b)
+        np.testing.assert_array_equal(n0a, n0b)
+
+
 def test_dead_code_restart_mesh_parity():
     """Dead-code restarts on the first step must be identical on 1 device
     and a 2x4 mesh: usage values there are exact batch-assignment counts
