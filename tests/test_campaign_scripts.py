@@ -202,3 +202,46 @@ def test_cptp_report_groups_and_scopes_tuned_table(tmp_path, capsys):
     assert d['tuned_best'] == -98.6149             # from the FIRST table
     assert d['m_tested'] == [0, 1, 2, 3, 4]
     assert abs(d['delta_vs_tuned'] - 39.2149) < 1e-6
+
+
+def test_cptp_report_mix_records_group_and_win(tmp_path, capsys):
+    """Per-variable mixture records (identifier tail `_cpe-<list>_cpm`)
+    must land in the same sweep group as their base cell's global-M
+    records, sort after every int M, and win the group when their valid
+    PLL is best — the round-5 headline rows (students -4.29, 50-17-8
+    -44.81) flow through exactly this path. A pk-suffixed cptp record
+    must also stay in the group (round-4 advisor finding)."""
+    cr = _load('cr2', os.path.join(REPO, 'scripts', 'cptp_report.py'))
+
+    # unit surface: split_m on the three identifier shapes
+    base = ('students_03_02-0000_K-500_D-30_bs-32_epk-600_lr-0.001_bta-0.25'
+            '_ema-True_gma-0.99_sd-1-_dcr-0.1_sov-100')
+    assert cr.split_m(base) == (base, 0)
+    assert cr.split_m(base + '_cpe-8') == (base, 8)
+    assert cr.split_m(base + '_cpe-1.2.3.4.5.6.7.8_cpm') == (base, 'mix')
+    assert cr.split_m(base + '_cptp-4_pk-3') == (base + '_pk-3', 4)
+    assert cr._mkey('mix') > cr._mkey(12)      # mix sorts after every int M
+
+    joblog = _write_joblog(tmp_path, [
+        {'identifier': base, 'ok': True, 'pll_valid': -149.38,
+         'pll_test': -150.44, 'paper_pll': -1.4775},
+        {'identifier': base + '_cpe-4', 'ok': True, 'pll_valid': -6.91,
+         'pll_test': -6.98, 'paper_pll': -1.4775},
+        {'identifier': base + '_cpe-8', 'ok': True, 'pll_valid': -4.51,
+         'pll_test': -4.58, 'paper_pll': -1.4775},
+        {'identifier': base + '_cpe-1.2.3.4.5.6.7.8_cpm', 'ok': True,
+         'pll_valid': -4.22, 'pll_test': -4.29, 'paper_pll': -1.4775},
+    ])
+    out_md = tmp_path / 'report.md'
+    sys.argv = ['cptp_report.py', '--joblogs', joblog,
+                '--results-md', str(tmp_path / 'missing.md'),
+                '--out', str(out_md)]
+    cr.main()
+    err = capsys.readouterr().err
+    summary = json.loads([l for l in err.splitlines()
+                          if l.startswith('{')][-1])
+    (d,) = summary['datasets']
+    assert d['winner_m'] == 'mix'                  # best valid wins
+    assert d['pll_test'] == -4.29
+    assert d['m_tested'] == [0, 4, 8, 'mix']       # mix sorts last
+    assert 'M=mix: -4.2900' in out_md.read_text()
