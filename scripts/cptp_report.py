@@ -64,7 +64,8 @@ DEFAULT_JOBLOGS = ['logs/cptp-cpu-r4.jsonl', 'logs/cptp-small-r4.jsonl',
                    'logs/cptp-gap-hiM.jsonl', 'logs/cptp-students-hiM2.jsonl',
                    'logs/cptp-gap-hiM2.jsonl', 'logs/cptp-mix-gap.jsonl',
                    'logs/cptp-students-mix.jsonl',
-                   'logs/cptp-dna-mix.jsonl']
+                   'logs/cptp-dna-mix.jsonl',
+                   'logs/cptp-small-mix.jsonl']
 
 
 def tuned_bests(results_md: str) -> dict:
