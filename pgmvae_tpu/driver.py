@@ -159,7 +159,11 @@ def _posthoc_cpt_records(exp, cfg, mesh_ctx, params, codebook, y_train,
     variable keeps the M whose VALIDATION PLL contribution is highest
     (Stage2.pll_detail; ties to the smaller M), and the mixed train/test
     PLLs are composed from the same selection — selection touches the
-    validation split only."""
+    validation split only. With exp.cmll as well, the mix record gets a
+    real CMLL: the per-variable winner tables are composed into one
+    uniform-width joint CPT (stage2.compose_mixed_cpt, exact) and run
+    through the same Gibbs settings as the cell's own CMLL — the only way
+    to CMLL a mixture, since no single --cpt-parents retrain realizes it."""
     import time as _time
 
     import numpy as np
@@ -172,6 +176,8 @@ def _posthoc_cpt_records(exp, cfg, mesh_ctx, params, codebook, y_train,
     if exp.cpt_parents_mix and exp.cpt_parents not in eval_ms:
         loop_ms = eval_ms + (exp.cpt_parents,)   # primary M is a candidate
     records, per_var = [], {}
+    keep_tables = exp.cpt_parents_mix and exp.cmll   # mix-CMLL needs them
+    dists_by_m, parents_by_m = {}, {}
     for m in loop_ms:
         te = _time.time()
         if stage2_by_m is not None and m in stage2_by_m:
@@ -182,6 +188,10 @@ def _posthoc_cpt_records(exp, cfg, mesh_ctx, params, codebook, y_train,
             if stage2_by_m is not None:
                 stage2_by_m[m] = s2m
         dist_m = s2m.cpt(params, codebook, y_train)
+        if keep_tables:
+            dists_by_m[m] = dist_m
+            parents_by_m[m] = (None if s2m.parents is None else
+                               np.asarray(s2m.parents)[:cfg.active_vars])
         pll_m = {}
         for split, y in splits:
             pll_m[split], pv = s2m.pll_detail(params, codebook, y, dist_m)
@@ -219,6 +229,22 @@ def _posthoc_cpt_records(exp, cfg, mesh_ctx, params, codebook, y_train,
                                     sel, minlength=len(cands)))
                                 if c},
         })
+        if keep_tables:
+            import jax
+
+            from pgmvae_tpu.gibbs import conditional_marginal_log_likelihood
+            from pgmvae_tpu.stage2 import compose_mixed_cpt
+            sel_ms = np.asarray(cands, np.int32)[sel]
+            mdist, mpar = compose_mixed_cpt(dists_by_m, parents_by_m, sel_ms)
+            tcm = _time.time()
+            # same Gibbs settings as the cell's own CMLL (run_experiment's
+            # exp.cmll path; reference core/model.py:110-148)
+            records[-1]['cmll_test'] = conditional_marginal_log_likelihood(
+                params, codebook, cfg, mdist, y_test,
+                p1=max(y_test.shape[1] // 10, 1), num_smp=3000, burn_in=150,
+                key=jax.random.PRNGKey(exp.seed), parents=mpar)
+            records[-1]['cmll_wall'] = round(_time.time() - tcm, 3)
+            records[-1]['cmll_m_max'] = int(sel_ms.max(initial=0))
     return records
 
 

@@ -285,3 +285,42 @@ class Stage2:
         terms = n1 * lp1 + n0 * lp0
         per_var = terms.reshape(terms.shape[0], -1).sum(1) / y_host.shape[0]
         return float(per_var.sum()), per_var
+
+
+def compose_mixed_cpt(dists: dict, parents_by_m: dict, sel_ms
+                      ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Compose per-variable winner tables (one M per variable — the
+    --cpt-parents-mix selection) into ONE uniform-width joint-code CPT
+    that the Gibbs/CMLL path can consume (gibbs.get_probability keys every
+    variable's lookup on the same number of parent slots).
+
+    dists[m]: [n, K] (m == 0) or [n, K, 2^m] train-split CPTs;
+    parents_by_m[m]: [n, m] int32 (stage2.select_parents rows) or None for
+    m == 0; sel_ms: [n] chosen m per variable. Returns
+    (dist [n, K, 2^m_max], parents [n, m_max]), or (dists[0], None) when
+    every variable chose m == 0.
+
+    Exact, not approximate: gibbs.get_probability builds the parent word
+    with bit b = the sample's value at parents[v, b] (gibbs.py:72-76), and
+    each variable's [K, 2^m] block is tiled along the word axis, so the
+    padded entry [k, w] = original [k, w mod 2^m] — the low m bits ARE the
+    variable's own parent word, and the inert high bits never change the
+    looked-up value no matter which variables the padding slots point at
+    (tests/test_cpt_parents.py pins this against per-M lookups)."""
+    sel_ms = np.asarray(sel_ms, np.int32)
+    n = sel_ms.shape[0]
+    m_max = int(sel_ms.max(initial=0))
+    if m_max == 0:
+        return np.asarray(dists[0], np.float64), None
+    k = next(iter(dists.values())).shape[1]
+    dist = np.empty((n, k, 1 << m_max), np.float64)
+    parents = np.zeros((n, m_max), np.int32)
+    for v in range(n):
+        m = int(sel_ms[v])
+        tab = np.asarray(dists[m][v], np.float64).reshape(k, -1)  # [K, 2^m]
+        dist[v] = np.tile(tab, (1, (1 << m_max) >> m))
+        if m:
+            parents[v, :m] = parents_by_m[m][v, :m]
+        if m < m_max:           # inert slots: any non-self variable works
+            parents[v, m:] = 0 if v != 0 else 1
+    return dist, parents

@@ -223,6 +223,95 @@ def test_cpt_parents_mix_record():
     assert ExperimentConfig(**kw).identifier == mix['identifier']
 
 
+def test_compose_mixed_cpt_matches_per_m_lookup():
+    """compose_mixed_cpt: the composed uniform-width table must give every
+    variable EXACTLY its own winner-M conditional through the Gibbs lookup
+    (the padded parent bits are inert by construction), and an all-M=0
+    selection must return the plain table untouched."""
+    from pgmvae_tpu.stage2 import compose_mixed_cpt
+    y = _chain_data(n=6, n_samples=400, seed=8)
+    cfg = VqVaeConfig(n_var=6, units=(5, 4), dim=2, num_codes=4,
+                      quantizer='ema')
+    tr = Trainer(cfg, 0.01, 64, len(y))
+    st = tr.init_state(jax.random.PRNGKey(0))
+    st, _ = tr.fit(st, y, epochs=1, key=jax.random.PRNGKey(1))
+    cb = tr.codebook(st)
+
+    dists, parents = {}, {}
+    for m in (0, 1, 2):
+        par = select_parents(y, m) if m else None
+        dists[m] = Stage2(cfg, chunk=64, parents=par).cpt(st.params, cb, y)
+        parents[m] = par
+    sel_ms = np.array([0, 1, 2, 2, 1, 0], np.int32)
+    mdist, mpar = compose_mixed_cpt(dists, parents, sel_ms)
+    assert mdist.shape == (6, 4, 4) and mpar.shape == (6, 2)
+
+    yb = jnp.asarray(y[:32])
+    fts_all = jnp.arange(6, dtype=jnp.int32)
+    prb_mix = np.asarray(get_probability(
+        st.params, cb, cfg, jnp.asarray(mdist, jnp.float32), yb, fts_all,
+        parents=jnp.asarray(mpar)))
+    for m in (0, 1, 2):
+        idx = np.where(sel_ms == m)[0]
+        prb_m = np.asarray(get_probability(
+            st.params, cb, cfg, jnp.asarray(dists[m], jnp.float32), yb,
+            jnp.asarray(idx, jnp.int32),
+            parents=None if m == 0 else jnp.asarray(parents[m])))
+        np.testing.assert_allclose(prb_mix[idx], prb_m, rtol=1e-6)
+
+    # the composed table runs through the full CMLL chain
+    cmll = conditional_marginal_log_likelihood(
+        st.params, cb, cfg, mdist, y[:64], p1=2, num_smp=60, burn_in=10,
+        key=jax.random.PRNGKey(0), parents=mpar)
+    assert np.isfinite(cmll) and cmll < 0
+
+    d0, p0 = compose_mixed_cpt(dists, parents, np.zeros(6, np.int32))
+    assert p0 is None
+    np.testing.assert_array_equal(d0, dists[0])
+
+
+def test_mix_cmll_wiring(monkeypatch):
+    """--cmll + --cpt-parents-mix: the mix record must carry a CMLL computed
+    from the composed mixture tables (exactly two CMLL calls per cell: the
+    base table and the composed one)."""
+    import pgmvae_tpu.gibbs as gibbs
+    calls = []
+
+    def fake_cmll(params, codebook, cfg, dist, x, p1, num_smp, burn_in,
+                  key=None, verbose=False, parents=None):
+        calls.append((np.asarray(dist).shape,
+                      None if parents is None else np.asarray(parents).shape,
+                      p1, num_smp, burn_in))
+        return -1.234
+    monkeypatch.setattr(gibbs, 'conditional_marginal_log_likelihood',
+                        fake_cmll)
+
+    base = dict(name='nltcs', embedding=8, dim=4, batch=512, epoch=1,
+                rate=0.01, ema=True, seed=0, units=(8, 6))
+    res = run_experiment(ExperimentConfig(**base, cmll=True,
+                                          cpt_parents_eval=(1, 2),
+                                          cpt_parents_mix=True))
+    assert len(calls) == 2 and res['cmll_test'] == -1.234
+    mix = [r for r in res['posthoc'] if r['identifier'].endswith('_cpm')][0]
+    assert mix['cmll_test'] == -1.234 and 'cmll_wall' in mix
+    # per-M cpe records keep the reference's CMLL-off sentinel
+    assert all(r['cmll_test'] == 1 for r in res['posthoc']
+               if not r['identifier'].endswith('_cpm'))
+    # base call saw the plain [n, K] table; the mix call's table width and
+    # parent slots agree with the recorded selection
+    dist_shape, par_shape, p1, num_smp, burn_in = calls[-1]
+    assert (p1, num_smp, burn_in) == (1, 3000, 150)
+    m_max = mix['cmll_m_max']
+    assert m_max == max(int(k) for k, c in mix['mix_m_histogram'].items()
+                        if c)
+    if m_max == 0:
+        assert dist_shape == (16, 8) and par_shape is None
+    else:
+        assert dist_shape == (16, 8, 1 << m_max)
+        assert par_shape == (16, m_max)
+    assert calls[0][0] == (16, 8) and calls[0][1] is None
+
+
 def test_cpt_parents_mix_requires_eval():
     import pytest
     with pytest.raises(ValueError, match='cpt_parents_mix'):
