@@ -65,7 +65,9 @@ DEFAULT_JOBLOGS = ['logs/cptp-cpu-r4.jsonl', 'logs/cptp-small-r4.jsonl',
                    'logs/cptp-gap-hiM2.jsonl', 'logs/cptp-mix-gap.jsonl',
                    'logs/cptp-students-mix.jsonl',
                    'logs/cptp-dna-mix.jsonl',
-                   'logs/cptp-small-mix.jsonl']
+                   'logs/cptp-small-mix.jsonl',
+                   'logs/cptp-mix-seeds.jsonl',
+                   'logs/cptp-mix-cmll.jsonl']
 
 
 def tuned_bests(results_md: str) -> dict:
@@ -129,8 +131,8 @@ def main() -> int:
              'the RESULTS.md tuned table; delta = winner test − tuned best',
              '(positive = the joint-CPT lever beats the tuned table).', '',
              '| dataset | base identifier | winner M (by valid) | '
-             'test @ winner | tuned best | delta | paper |',
-             '|---|---|---|---|---|---|---|']
+             'test @ winner | CMLL @ winner | tuned best | delta | paper |',
+             '|---|---|---|---|---|---|---|---|']
     summary = []
     for base in sorted(groups):
         ms = groups[base]
@@ -144,14 +146,20 @@ def main() -> int:
         # post-hoc _cpe-M records don't carry paper_pll; take the group's
         paper = next((ms[m].get('paper_pll') for m in sorted(ms, key=_mkey)
                       if ms[m].get('paper_pll') is not None), None)
+        # cmll_test == 1 is the reference's CMLL-off sentinel (run.py:77);
+        # a real CMLL (driver --cmll, incl. composed mixtures) is negative
+        cmll = win.get('cmll_test', 1)
+        cmll_s = f'{cmll:.4f}' if cmll != 1 else '—'
         lines.append(
             f"| {name} | `{base}` | {win_m} | {win['pll_test']:.4f} | "
+            f"{cmll_s} | "
             f"{tuned if tuned is not None else 'n/a'} | "
             f"{f'{delta:+.2f}' if delta is not None else 'n/a'} | "
             f"{paper if paper is not None else 'n/a'} |")
         summary.append({'dataset': name, 'base': base, 'winner_m': win_m,
                         'pll_test': win['pll_test'],
                         'pll_valid': win['pll_valid'],
+                        'cmll_test': None if cmll == 1 else cmll,
                         'm_tested': sorted(ms, key=_mkey),
                         'tuned_best': tuned, 'delta_vs_tuned': delta,
                         'paper': paper,
