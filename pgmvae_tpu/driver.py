@@ -147,7 +147,7 @@ def _check_naive_dim(quantizer: str, dim: int) -> None:
 
 def _posthoc_cpt_records(exp, cfg, mesh_ctx, params, codebook, y_train,
                          y_valid, y_test, primary_id, platform,
-                         stage2_by_m=None) -> list:
+                         stage2_by_m=None, state=None) -> list:
     """One stage-2 record per M in exp.cpt_parents_eval, computed from the
     already-trained `params` (see ExperimentConfig.cpt_parents_eval). Each
     record's cpe-M identifier regenerates its number by rerunning the cell
@@ -163,7 +163,11 @@ def _posthoc_cpt_records(exp, cfg, mesh_ctx, params, codebook, y_train,
     real CMLL: the per-variable winner tables are composed into one
     uniform-width joint CPT (stage2.compose_mixed_cpt, exact) and run
     through the same Gibbs settings as the cell's own CMLL — the only way
-    to CMLL a mixture, since no single --cpt-parents retrain realizes it."""
+    to CMLL a mixture, since no single --cpt-parents retrain realizes it.
+    With exp.checkpoint (and `state` passed), the same composed tables are
+    saved to `<checkpoint>.mix`, a standard checkpoint that
+    serving.PgmModel can deploy directly — the mixture winner becomes a
+    servable artifact, not just a joblog row."""
     import time as _time
 
     import numpy as np
@@ -176,7 +180,8 @@ def _posthoc_cpt_records(exp, cfg, mesh_ctx, params, codebook, y_train,
     if exp.cpt_parents_mix and exp.cpt_parents not in eval_ms:
         loop_ms = eval_ms + (exp.cpt_parents,)   # primary M is a candidate
     records, per_var = [], {}
-    keep_tables = exp.cpt_parents_mix and exp.cmll   # mix-CMLL needs them
+    keep_tables = exp.cpt_parents_mix and (       # mix-CMLL / mix-checkpoint
+        exp.cmll or (exp.checkpoint and state is not None))
     dists_by_m, parents_by_m = {}, {}
     for m in loop_ms:
         te = _time.time()
@@ -232,19 +237,33 @@ def _posthoc_cpt_records(exp, cfg, mesh_ctx, params, codebook, y_train,
         if keep_tables:
             import jax
 
-            from pgmvae_tpu.gibbs import conditional_marginal_log_likelihood
             from pgmvae_tpu.stage2 import compose_mixed_cpt
             sel_ms = np.asarray(cands, np.int32)[sel]
             mdist, mpar = compose_mixed_cpt(dists_by_m, parents_by_m, sel_ms)
-            tcm = _time.time()
-            # same Gibbs settings as the cell's own CMLL (run_experiment's
-            # exp.cmll path; reference core/model.py:110-148)
-            records[-1]['cmll_test'] = conditional_marginal_log_likelihood(
-                params, codebook, cfg, mdist, y_test,
-                p1=max(y_test.shape[1] // 10, 1), num_smp=3000, burn_in=150,
-                key=jax.random.PRNGKey(exp.seed), parents=mpar)
-            records[-1]['cmll_wall'] = round(_time.time() - tcm, 3)
-            records[-1]['cmll_m_max'] = int(sel_ms.max(initial=0))
+            if exp.cmll:
+                from pgmvae_tpu.gibbs import (
+                    conditional_marginal_log_likelihood)
+                tcm = _time.time()
+                # same Gibbs settings as the cell's own CMLL
+                # (run_experiment's exp.cmll path; reference
+                # core/model.py:110-148)
+                records[-1]['cmll_test'] = (
+                    conditional_marginal_log_likelihood(
+                        params, codebook, cfg, mdist, y_test,
+                        p1=max(y_test.shape[1] // 10, 1), num_smp=3000,
+                        burn_in=150, key=jax.random.PRNGKey(exp.seed),
+                        parents=mpar))
+                records[-1]['cmll_wall'] = round(_time.time() - tcm, 3)
+                records[-1]['cmll_m_max'] = int(sel_ms.max(initial=0))
+            if exp.checkpoint and state is not None:
+                from pgmvae_tpu import checkpoint as ckpt
+                extra = {'identifier': exp.identifier, 'pll': mixed,
+                         'mix_m_histogram': records[-1]['mix_m_histogram']}
+                if mpar is not None:
+                    extra['cpt_parents'] = np.asarray(mpar).tolist()
+                ckpt.save(exp.checkpoint + '.mix', cfg, state, mdist,
+                          extra=extra)
+                records[-1]['checkpoint'] = exp.checkpoint + '.mix'
     return records
 
 
@@ -586,7 +605,7 @@ def run_experiment(exp: ExperimentConfig) -> dict:
     if exp.cpt_parents_eval:
         result['posthoc'] = _posthoc_cpt_records(
             exp, cfg, mesh_ctx, state.params, codebook, y_train, y_valid,
-            y_test, primary_id, jax.devices()[0].platform)
+            y_test, primary_id, jax.devices()[0].platform, state=state)
     if logger:
         logger.log_final(**result)
         logger.close()

@@ -312,6 +312,30 @@ def test_mix_cmll_wiring(monkeypatch):
     assert calls[0][0] == (16, 8) and calls[0][1] is None
 
 
+def test_mix_checkpoint_serves(tmp_path):
+    """--checkpoint + --cpt-parents-mix: the composed mixture is saved to
+    `<checkpoint>.mix` and serving.PgmModel deploys it — per-sample scores
+    must average to the mix record's test PLL."""
+    from pgmvae_tpu.data import load_split
+    from pgmvae_tpu.serving import PgmModel
+    base = dict(name='nltcs', embedding=8, dim=4, batch=512, epoch=1,
+                rate=0.01, ema=True, seed=0, units=(8, 6))
+    path = str(tmp_path / 'm.ckpt')
+    res = run_experiment(ExperimentConfig(**base, cpt_parents_eval=(1, 2),
+                                          cpt_parents_mix=True,
+                                          checkpoint=path))
+    mix = [r for r in res['posthoc'] if r['identifier'].endswith('_cpm')][0]
+    assert mix['checkpoint'] == path + '.mix'
+    model = PgmModel.from_checkpoint(path + '.mix')
+    y_test = load_split('nltcs', 'test')
+    np.testing.assert_allclose(model.score(y_test).mean(),
+                               mix['pll_test'], atol=5e-3)
+    # the base checkpoint still serves the primary (M=0) model
+    plain = PgmModel.from_checkpoint(path)
+    np.testing.assert_allclose(plain.score(y_test).mean(),
+                               res['pll_test'], atol=5e-3)
+
+
 def test_cpt_parents_mix_requires_eval():
     import pytest
     with pytest.raises(ValueError, match='cpt_parents_mix'):
