@@ -152,9 +152,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument('--cmll', action='store_true',
                    help='also evaluate CMLL via Gibbs sampling '
                         '(num_smp=3000, burn_in=150, p1=n_var//10, as in '
-                        'reference run.py:74)')
+                        'reference run.py:74); with --cpt-parents-mix the '
+                        'mix record gets its own CMLL on the composed '
+                        'mixture tables')
     p.add_argument('--checkpoint', type=str, default=None,
-                   help='path to write a checkpoint (params+EMA+CPT)')
+                   help='path to write a checkpoint (params+EMA+CPT); with '
+                        '--cpt-parents-mix the composed mixture is also '
+                        'saved to <path>.mix (servable by PgmModel)')
     p.add_argument('--resume', type=str, default=None,
                    help='checkpoint to resume stage-1 training from')
     p.add_argument('--profile', action='store_true',
